@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's per-process DDP/NCCL stack (reference train.py:359-366,
+training_loop.py:226-232, misc.py:167-188): one sharded jit program over a
+`jax.sharding.Mesh`; gradient all-reduce, stat sync and replica consistency
+are XLA collectives inserted by sharding propagation, riding ICI.
+
+Mesh axes:
+  * 'data'  — batch (videos) axis; the reference's only parallelism (DP).
+  * 'frame' — optional frame/sequence axis for synthesis/eval sharding: frames
+    are independent given (ws, motion codes), making this the natural
+    context-parallel analog (SURVEY.md §5.7).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices: Optional[Sequence] = None, data: Optional[int] = None,
+                frame: int = 1) -> Mesh:
+    """Build a (data, frame) mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // frame
+    assert data * frame == n, f"{data}x{frame} mesh != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, frame)
+    return Mesh(dev_array, axis_names=("data", "frame"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding for [B, ...] arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree of [B, ...] arrays sharded on the data axis."""
+    s = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
