@@ -1,0 +1,57 @@
+"""FVD over I3D (Kinetics-400) features
+(reference src/metrics/frechet_video_distance.py)."""
+from __future__ import annotations
+
+import numpy as np
+
+from . import metric_utils
+from .frechet_inception_distance import frechet_distance
+
+NUM_FRAMES_IN_BATCH = {128: 128, 256: 128, 512: 64, 1024: 32}
+
+
+def compute_fvd(opts, max_real, num_gen, num_frames: int,
+                subsample_factor: int = 1, detector_name: str = "i3d") -> float:
+    detector_kwargs = dict(rescale=False, resize=False, return_features=True)
+    resolution = opts.dataset_kwargs.get("resolution") or 256
+    batch_size = NUM_FRAMES_IN_BATCH.get(resolution, 128)
+
+    # real: consecutive-frame loading with subsampling + short-video discard
+    # (reference frechet_video_distance.py:26-33)
+    real_kwargs = dict(opts.dataset_kwargs)
+    real_kwargs.update(load_n_consecutive=num_frames,
+                       subsample_factor=subsample_factor,
+                       discard_short_videos=True)
+    import copy
+    real_opts = copy.copy(opts)
+    real_opts.dataset_kwargs = real_kwargs
+    mu_real, sigma_real = metric_utils.compute_feature_stats_for_dataset(
+        opts=real_opts, detector_name=detector_name,
+        detector_kwargs=detector_kwargs, capture_mean_cov=True,
+        max_items=max_real, temporal_detector=True,
+        batch_size=max(1, batch_size // num_frames)).get_mean_cov()
+
+    if opts.generator_as_dataset:
+        gen_opts = metric_utils.rewrite_opts_for_gen_dataset(opts)
+        gen_kwargs = dict(gen_opts.dataset_kwargs)
+        gen_kwargs.update(load_n_consecutive=num_frames,
+                          subsample_factor=subsample_factor,
+                          discard_short_videos=True)
+        gen_opts.dataset_kwargs = gen_kwargs
+        stats = metric_utils.compute_feature_stats_for_dataset(
+            opts=gen_opts, detector_name=detector_name,
+            detector_kwargs=detector_kwargs, capture_mean_cov=True,
+            max_items=num_gen, temporal_detector=True,
+            batch_size=max(1, batch_size // num_frames))
+    else:
+        stats = metric_utils.compute_feature_stats_for_generator(
+            opts=opts, detector_name=detector_name,
+            detector_kwargs=detector_kwargs, capture_mean_cov=True,
+            max_items=num_gen, temporal_detector=True,
+            num_video_frames=num_frames, subsample_factor=subsample_factor,
+            batch_size=batch_size)
+    mu_gen, sigma_gen = stats.get_mean_cov()
+
+    if opts.rank != 0:
+        return float("nan")
+    return frechet_distance(mu_real, sigma_real, mu_gen, sigma_gen)

@@ -1,0 +1,328 @@
+"""Metric infrastructure: feature statistics, detector registry, sharded
+feature extraction with on-disk caching.
+
+Behavioral parity with reference src/metrics/metric_utils.py:
+  * FeatureStats accumulates raw mean / covariance in float64
+    (metric_utils.py:63-139) — byte-compatible math;
+  * dataset feature stats are cached on disk keyed by a hash of all
+    arguments (metric_utils.py:200-219);
+  * items are round-robin sharded across replicas (metric_utils.py:230);
+  * generator stats draw fresh z, labels from the dataset, and CONSECUTIVE
+    timestamps t = range(0, F*subsample, subsample) (metric_utils.py:305-310),
+    with uint8 quantization to mirror the data path (metric_utils.py:285).
+
+Detector backends (replaces the TorchScript download cache,
+metric_utils.py:45-59 — no egress in this environment):
+  * 'torchscript': runs a user-supplied TorchScript file via CPU torch —
+    numerically identical to the reference by construction. Files are looked
+    up in $SGV_DETECTOR_DIR (or ./detectors) by canonical name.
+  * 'stub': deterministic cheap features for tests/smoke runs.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from ..utils.misc import EasyDict
+
+
+@dataclass
+class MetricOptions:
+    """Mirrors reference MetricOptions (metric_utils.py:23-36)."""
+    G: Any = None                      # models.Generator module def
+    G_variables: Any = None            # its flax variables ('params' + extras)
+    dataset_kwargs: Dict = field(default_factory=dict)
+    gen_dataset_kwargs: Optional[Dict] = None
+    generator_as_dataset: bool = False
+    num_replicas: int = 1
+    replica: int = 0
+    rank: int = 0
+    cache: bool = True
+    cache_dir: Optional[str] = None
+    detector_dir: Optional[str] = None
+    verbose: bool = False
+    progress: Optional[Callable] = None
+
+
+class FeatureStats:
+    """float64 moment accumulator (reference metric_utils.py:63-139)."""
+
+    def __init__(self, capture_all: bool = False, capture_mean_cov: bool = False,
+                 max_items: Optional[int] = None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = None
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features: int):
+        if self.num_features is not None:
+            assert num_features == self.num_features
+        else:
+            self.num_features = num_features
+            self.all_features = []
+            self.raw_mean = np.zeros([num_features], dtype=np.float64)
+            self.raw_cov = np.zeros([num_features, num_features], dtype=np.float64)
+
+    def is_full(self) -> bool:
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def append(self, x) -> None:
+        x = np.asarray(x, dtype=np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None and self.num_items + x.shape[0] > self.max_items:
+            if self.num_items >= self.max_items:
+                return
+            x = x[:self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(axis=0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self) -> np.ndarray:
+        assert self.capture_all
+        return np.concatenate(self.all_features, axis=0)
+
+    def get_mean_cov(self):
+        assert self.capture_mean_cov
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    def save(self, pkl_file: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(pkl_file)), exist_ok=True)
+        with open(pkl_file, "wb") as f:
+            pickle.dump(self.__dict__, f)
+
+    @staticmethod
+    def load(pkl_file: str) -> "FeatureStats":
+        with open(pkl_file, "rb") as f:
+            s = pickle.load(f)
+        obj = FeatureStats(capture_all=s["capture_all"], max_items=s["max_items"])
+        obj.__dict__.update(s)
+        return obj
+
+
+# ----------------------------- detector registry -----------------------------
+
+# canonical filenames for the reference detectors (download them once with
+# scripts/download_detectors.py on a machine with egress)
+DETECTOR_FILES = {
+    "inception": "inception-2015-12-05.pt",
+    "i3d": "i3d_torchscript.pt",
+    "c3d_ucf101": "c3d_ucf101.pt",
+}
+
+_custom_detectors: Dict[str, Callable] = {}
+
+
+def register_detector(name: str, builder: Callable) -> None:
+    _custom_detectors[name] = builder
+
+
+def _detector_search_dirs(opts: MetricOptions):
+    dirs = []
+    if opts.detector_dir:
+        dirs.append(opts.detector_dir)
+    if os.environ.get("SGV_DETECTOR_DIR"):
+        dirs.append(os.environ["SGV_DETECTOR_DIR"])
+    dirs.append(os.path.join(os.getcwd(), "detectors"))
+    return dirs
+
+
+def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
+    """Returns features_fn(images uint8 [N,H,W,C] or [N,T,H,W,C]) -> [N, D]."""
+    if name in _custom_detectors:
+        return _custom_detectors[name](**detector_kwargs)
+    fname = DETECTOR_FILES.get(name, name)
+    for d in _detector_search_dirs(opts):
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            return _torchscript_detector(path, name, **detector_kwargs)
+    raise FileNotFoundError(
+        f"Detector '{name}' ({fname}) not found in {_detector_search_dirs(opts)}. "
+        f"Fetch it with scripts/download_detectors.py on a machine with network "
+        f"access, or set SGV_DETECTOR_DIR.")
+
+
+def _torchscript_detector(path: str, name: str, **detector_kwargs) -> Callable:
+    """Run the reference TorchScript detector via CPU torch — numerically
+    identical to the reference metric stack by construction."""
+    import torch
+    model = torch.jit.load(path).eval()
+
+    def features(images: np.ndarray) -> np.ndarray:
+        assert images.dtype == np.uint8
+        with torch.no_grad():
+            if images.ndim == 5:      # video: [N,T,H,W,C] -> [N,C,T,H,W]
+                x = torch.from_numpy(images.transpose(0, 4, 1, 2, 3)).float()
+                x = x / 127.5 - 1.0   # I3D expects [-1, 1] (reference port)
+                out = model(x, **detector_kwargs)
+            else:                     # image: [N,H,W,C] -> [N,C,H,W] uint8
+                x = torch.from_numpy(images.transpose(0, 3, 1, 2))
+                out = model(x, **detector_kwargs)
+        return out.numpy()
+
+    return features
+
+
+# ------------------------------ feature loops ---------------------------------
+
+def _cache_tag(opts: MetricOptions, dataset_kwargs: Dict, detector_name: str,
+               stats_kwargs: Dict, extra: Dict) -> str:
+    def stable(o):
+        try:
+            return repr(sorted(o.items())) if isinstance(o, dict) else repr(o)
+        except Exception:
+            return str(o)
+    args = dict(dataset_kwargs={k: stable(v) for k, v in dataset_kwargs.items()},
+                detector=detector_name, stats_kwargs=stats_kwargs, extra=extra)
+    md5 = hashlib.md5(repr(sorted(args.items())).encode("utf-8")).hexdigest()
+    name = os.path.splitext(os.path.basename(
+        str(dataset_kwargs.get("path", "ds"))))[0]
+    return f"{name}-{detector_name}-{md5}"
+
+
+def _make_dataset(dataset_kwargs: Dict, use_image_dataset: bool):
+    from ..data import ImageFolderDataset, VideoFramesFolderDataset
+    kwargs = dict(dataset_kwargs)
+    if use_image_dataset:
+        # frames-as-images adapter (reference dataset.py:469-481)
+        keep = {"path", "use_labels", "xflip", "random_seed"}
+        kwargs = {k: v for k, v in kwargs.items() if k in keep}
+        return ImageFolderDataset(**kwargs)
+    return VideoFramesFolderDataset(**kwargs)
+
+
+def compute_feature_stats_for_dataset(
+        opts: MetricOptions, detector_name: str, detector_kwargs: Dict,
+        batch_size: int = 64, data_loader_kwargs=None, max_items=None,
+        temporal_detector: bool = False, use_image_dataset: bool = False,
+        feature_stats_cls=FeatureStats, **stats_kwargs) -> FeatureStats:
+    """(reference metric_utils.py:189-257)."""
+    dataset_kwargs = dict(opts.dataset_kwargs)
+    if temporal_detector:
+        dataset_kwargs.pop("sampling", None)
+
+    cache_file = None
+    if opts.cache:
+        cache_dir = opts.cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "stylegan_v_tpu", "metric-stats")
+        tag = _cache_tag(opts, dataset_kwargs, detector_name, stats_kwargs,
+                         dict(max_items=max_items, temporal=temporal_detector,
+                              image=use_image_dataset))
+        cache_file = os.path.join(cache_dir, tag + ".pkl")
+        if os.path.isfile(cache_file):
+            return feature_stats_cls.load(cache_file)
+
+    dataset = _make_dataset(dataset_kwargs, use_image_dataset)
+    if max_items is not None:
+        num_items = min(len(dataset), max_items)
+    else:
+        num_items = len(dataset)
+
+    stats = feature_stats_cls(max_items=num_items, **stats_kwargs)
+    detector = get_detector(detector_name, opts, **detector_kwargs)
+
+    # round-robin item sharding (reference metric_utils.py:230)
+    item_subset = [(i * opts.num_replicas + opts.replica) % num_items
+                   for i in range((num_items - 1) // opts.num_replicas + 1)]
+    batch = []
+    for idx in item_subset:
+        item = dataset[idx]
+        img = item["image"]
+        if not temporal_detector and img.ndim == 4:
+            img = img[0]              # first frame for image detectors
+        batch.append(img)
+        if len(batch) == batch_size:
+            stats.append(detector(np.stack(batch)))
+            batch = []
+            if stats.is_full():
+                break
+    if batch and not stats.is_full():
+        stats.append(detector(np.stack(batch)))
+    dataset.close()
+
+    if cache_file is not None:
+        stats.save(cache_file)
+    return stats
+
+
+def compute_feature_stats_for_generator(
+        opts: MetricOptions, detector_name: str, detector_kwargs: Dict,
+        batch_size: int = 16, num_video_frames: int = 16,
+        subsample_factor: int = 1, temporal_detector: bool = False,
+        max_items=None, noise_mode: str = "const", seed: int = 0,
+        feature_stats_cls=FeatureStats, **stats_kwargs) -> FeatureStats:
+    """Fresh z + dataset labels + consecutive timestamps -> G -> uint8 ->
+    detector (reference metric_utils.py:260-331)."""
+    import jax
+    import jax.numpy as jnp
+
+    G, variables = opts.G, opts.G_variables
+    cfg = G.cfg
+    dataset = _make_dataset(dict(opts.dataset_kwargs), use_image_dataset=False)
+
+    stats = feature_stats_cls(max_items=max_items, **stats_kwargs)
+    detector = get_detector(detector_name, opts, **detector_kwargs)
+    rng = np.random.RandomState(seed + opts.replica)
+    key = jax.random.PRNGKey(seed * 1000 + opts.replica)
+
+    ts_row = np.arange(num_video_frames, dtype=np.float32) * subsample_factor
+    from ..models.motion import MotionMappingNetwork
+    L = (MotionMappingNetwork.required_traj_len(cfg, float(ts_row.max()))
+         if cfg.has_motion else 0)
+
+    @jax.jit
+    def synth(z, c, t, mz):
+        img = G.apply(variables, z, c, t, motion_z=mz, noise_mode=noise_mode,
+                      rngs={"motion": jax.random.PRNGKey(0),
+                            "noise": jax.random.PRNGKey(1)})
+        img = jnp.clip((img * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        return img
+
+    batch_videos = max(1, batch_size // num_video_frames)
+    step = 0
+    while not stats.is_full():
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, (batch_videos, cfg.z_dim))
+        if cfg.c_dim > 0:
+            c = np.stack([dataset.get_label(rng.randint(len(dataset)))
+                          for _ in range(batch_videos)]).astype(np.float32)
+            c_j = jnp.asarray(c)
+        else:
+            c_j = None
+        t = jnp.asarray(np.tile(ts_row[None], (batch_videos, 1)))
+        mz = (jax.random.normal(jax.random.fold_in(key, 1),
+                                (batch_videos, L, cfg.motion.z_dim))
+              if cfg.has_motion else None)
+        img = np.asarray(synth(z, c_j, t, mz))      # [B*T, H, W, C] uint8
+        if temporal_detector:
+            img = img.reshape(batch_videos, num_video_frames, *img.shape[1:])
+        stats.append(detector(img))
+        step += 1
+    dataset.close()
+    return stats
+
+
+def rewrite_opts_for_gen_dataset(opts: MetricOptions) -> MetricOptions:
+    """Evaluate a 'fake' dataset in place of the generator
+    (reference metric_utils.py:39-46)."""
+    import copy
+    new = copy.copy(opts)
+    assert opts.gen_dataset_kwargs is not None
+    new.dataset_kwargs = opts.gen_dataset_kwargs
+    new.cache = False
+    return new
