@@ -66,6 +66,9 @@ class TrainSetup:
     resume: Optional[str]
     freeze_layers: int
     num_workers: int
+    disc_source: str = "networks"            # 'networks' | 'mocogan'
+    video_discr_lr_multiplier: float = 0.1
+    video_discr_num_t_paddings: int = 0
 
 
 def _sampling_from_cfg(s: Dict) -> SamplingConfig:
@@ -248,4 +251,7 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
         resume=t.get("resume"),
         freeze_layers=int(t.get("freezed", 0)),
         num_workers=int(t.get("num_workers", 3)),
+        disc_source=disc.get("source", "networks"),
+        video_discr_lr_multiplier=float(disc.get("video_discr_lr_multiplier", 0.1)),
+        video_discr_num_t_paddings=int(disc.get("video_discr_num_t_paddings", 0)),
     )

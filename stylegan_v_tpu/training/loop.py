@@ -66,10 +66,19 @@ def training_loop(setup: TrainSetup,
     # ---- models + state (reference training_loop.py:160-183) ------------
     log("Constructing networks...")
     G = Generator(setup.gen_cfg)
-    D = Discriminator(setup.disc_cfg)
+    d_lr_scales = None
+    if getattr(setup, "disc_source", "networks") == "mocogan":
+        from ..models.mocogan import MoCoGANDiscriminator
+        D = MoCoGANDiscriminator(
+            setup.disc_cfg,
+            video_discr_lr_multiplier=setup.video_discr_lr_multiplier,
+            video_discr_num_t_paddings=setup.video_discr_num_t_paddings)
+        d_lr_scales = D.lr_scale_map
+    else:
+        D = Discriminator(setup.disc_cfg)
     rng = jax.random.PRNGKey(setup.seed)
     state = init_train_state(rng, G, D, setup.opt_g, setup.opt_d, setup.train_cfg,
-                             augment_p=setup.augment_p)
+                             augment_p=setup.augment_p, d_lr_scales=d_lr_scales)
     n_gp = sum(int(np.prod(np.shape(l)))
                for l in jax.tree_util.tree_leaves(state.params_G))
     n_dp = sum(int(np.prod(np.shape(l)))
@@ -92,7 +101,8 @@ def training_loop(setup: TrainSetup,
     augment_fn = (make_augment_pipe(setup.augment_cfg)
                   if setup.augment_cfg is not None else None)
     step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
-                              setup.train_cfg, augment_fn=augment_fn, donate=False)
+                              setup.train_cfg, augment_fn=augment_fn, donate=False,
+                              d_lr_scales=d_lr_scales)
 
     # ---- mesh ------------------------------------------------------------
     mesh = create_mesh(frame=1)

@@ -102,7 +102,8 @@ class GANLoss:
                 img = jnp.moveaxis(v, -2, 1).reshape(n * f, h, w, ch)
             else:
                 img = self.augment_fn(rng, img, augment_p)
-        return self.D.apply(vars_D, img, c, t)
+        return self.D.apply(vars_D, img, c, t,
+                            rngs={"noise": jax.random.fold_in(rng, 99)})
 
     # ---------------- phase losses ----------------
 
@@ -118,6 +119,11 @@ class GANLoss:
         stats = {"Loss/scores/fake": jnp.mean(logits),
                  "Loss/signs/fake": jnp.mean(jnp.sign(logits)),
                  "Loss/G/loss": loss}
+        if "video_logits" in out:   # MoCoGAN branch (reference loss.py:91-96)
+            loss_video = jnp.mean(softplus(-out["video_logits"]))
+            stats["Loss/scores/fake_video"] = jnp.mean(out["video_logits"])
+            stats["Loss/G/loss_video"] = loss_video
+            loss = loss + loss_video
         return loss, (new_moving, stats)
 
     def gpl(self, params_G, vars_rest_G, gen_z, gen_c, gen_t, rng, pl_mean):
@@ -149,10 +155,14 @@ class GANLoss:
         k_mix, k_syn, k_aug = jax.random.split(rng, 3)
         ws, _ = self.run_mapping(vars_G, gen_z, gen_c, k_mix, update_w_avg=False)
         img = jax.lax.stop_gradient(self.run_synthesis(vars_G, ws, gen_t, gen_c, k_syn))
-        logits = self.run_D(vars_D, img, gen_c, gen_t, k_aug, augment_p)["image_logits"]
+        out = self.run_D(vars_D, img, gen_c, gen_t, k_aug, augment_p)
+        logits = out["image_logits"]
         loss = jnp.mean(softplus(logits))
         stats = {"Loss/scores/fake": jnp.mean(logits),
                  "Loss/signs/fake": jnp.mean(jnp.sign(logits))}
+        if "video_logits" in out:   # reference loss.py:130-134
+            loss = loss + jnp.mean(softplus(out["video_logits"]))
+            stats["Loss/scores/fake_video"] = jnp.mean(out["video_logits"])
         return loss, stats
 
     def dreal_dr1(self, params_D, vars_rest_D, real_img, real_c, real_t, rng,
@@ -165,13 +175,17 @@ class GANLoss:
             return self.run_D(vars_D, img, real_c, real_t, rng, augment_p)["image_logits"]
 
         loss = 0.0
-        logits = logits_of(real_img)
+        out = self.run_D(vars_D, real_img, real_c, real_t, rng, augment_p)
+        logits = out["image_logits"]
         stats["Loss/scores/real"] = jnp.mean(logits)
         stats["Loss/signs/real"] = jnp.mean(jnp.sign(logits))
         if do_main:
             loss_real = jnp.mean(softplus(-logits))
             stats["Loss/D/loss_real"] = loss_real
             loss = loss + loss_real
+            if "video_logits" in out:   # reference loss.py:156-159
+                loss = loss + jnp.mean(softplus(-out["video_logits"]))
+                stats["Loss/scores/real_video"] = jnp.mean(out["video_logits"])
         if do_r1:
             r1_grads = jax.grad(lambda im: jnp.sum(logits_of(im)))(real_img)
             r1_per_frame = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))   # [B*F]

@@ -72,15 +72,35 @@ def _mb_ratio(interval: Optional[int]) -> float:
     return 1.0 if interval is None else interval / (interval + 1)
 
 
+def _adam(cfg: OptimizerConfig, ratio: float, lr_scale: float = 1.0):
+    return optax.adam(cfg.lr * ratio * lr_scale, b1=cfg.beta1 ** ratio,
+                      b2=cfg.beta2 ** ratio, eps=cfg.eps)
+
+
 def make_optimizers(opt_g: OptimizerConfig, opt_d: OptimizerConfig,
-                    tcfg: TrainingConfig) -> Tuple[optax.GradientTransformation,
-                                                   optax.GradientTransformation]:
-    """Adam pairs with lazy-reg lr/beta rescale (training_loop.py:245-248)."""
+                    tcfg: TrainingConfig,
+                    d_lr_scales: Optional[Dict[str, float]] = None
+                    ) -> Tuple[optax.GradientTransformation,
+                               optax.GradientTransformation]:
+    """Adam pairs with lazy-reg lr/beta rescale (training_loop.py:245-248).
+
+    d_lr_scales: per-top-level-subtree learning-rate multipliers for D
+    (the MoCoGAN video-branch 0.1x, reference mocogan.py:54-58)."""
     rg, rd = _mb_ratio(tcfg.G_reg_interval), _mb_ratio(tcfg.D_reg_interval)
-    g = optax.adam(opt_g.lr * rg, b1=opt_g.beta1 ** rg, b2=opt_g.beta2 ** rg,
-                   eps=opt_g.eps)
-    d = optax.adam(opt_d.lr * rd, b1=opt_d.beta1 ** rd, b2=opt_d.beta2 ** rd,
-                   eps=opt_d.eps)
+    g = _adam(opt_g, rg)
+    if d_lr_scales:
+        labels_map = dict(d_lr_scales)
+
+        def label_fn(params):
+            return {k: (k if k in labels_map else "__default__")
+                    for k in params.keys()}
+
+        transforms = {"__default__": _adam(opt_d, rd)}
+        for k, scale in labels_map.items():
+            transforms[k] = _adam(opt_d, rd, lr_scale=scale)
+        d = optax.multi_transform(transforms, label_fn)
+    else:
+        d = _adam(opt_d, rd)
     return g, d
 
 
@@ -93,15 +113,18 @@ def scrub_grads(grads, clip: float = 1e5):
 
 def init_train_state(rng: jax.Array, G: Generator, D: Discriminator,
                      opt_g_cfg: OptimizerConfig, opt_d_cfg: OptimizerConfig,
-                     tcfg: TrainingConfig, augment_p: float = 0.0) -> TrainState:
+                     tcfg: TrainingConfig, augment_p: float = 0.0,
+                     d_lr_scales: Optional[Dict[str, float]] = None) -> TrainState:
     """Build replicated initial state; init runs under jit for speed."""
     cfg = G.cfg
     k_g, k_m, k_d = jax.random.split(rng, 3)
     F = cfg.sampling.num_frames_per_video
-    z = jnp.zeros((2, cfg.z_dim))
-    t = jnp.zeros((2, F))
-    c = jnp.zeros((2, cfg.c_dim)) if cfg.c_dim > 0 else None
-    img = jnp.zeros((2 * F, cfg.img_resolution, cfg.img_resolution, cfg.img_channels))
+    # dummy batch of 4: keeps the per-frame batch divisible by the default
+    # minibatch-std group size during shape inference
+    z = jnp.zeros((4, cfg.z_dim))
+    t = jnp.zeros((4, F))
+    c = jnp.zeros((4, cfg.c_dim)) if cfg.c_dim > 0 else None
+    img = jnp.zeros((4 * F, cfg.img_resolution, cfg.img_resolution, cfg.img_channels))
 
     vars_G = jax.jit(partial(G.init, noise_mode="none"))(
         {"params": k_g, "motion": k_m}, z, c, t)
@@ -109,7 +132,7 @@ def init_train_state(rng: jax.Array, G: Generator, D: Discriminator,
 
     params_G = vars_G["params"]
     extra_G = {k: v for k, v in vars_G.items() if k != "params"}
-    opt_g, opt_d = make_optimizers(opt_g_cfg, opt_d_cfg, tcfg)
+    opt_g, opt_d = make_optimizers(opt_g_cfg, opt_d_cfg, tcfg, d_lr_scales)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         cur_nimg=jnp.zeros((), jnp.int32),
@@ -129,7 +152,8 @@ def init_train_state(rng: jax.Array, G: Generator, D: Discriminator,
 def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
                     opt_g_cfg: OptimizerConfig, opt_d_cfg: OptimizerConfig,
                     tcfg: TrainingConfig, augment_fn: Optional[Callable] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    d_lr_scales: Optional[Dict[str, float]] = None):
     """Returns train_step(state, batch, rng, do_gpl, do_dr1) with the two
     booleans static (compiles up to 4 cached variants).
 
@@ -142,7 +166,7 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
       Batch-major so every batch array shards uniformly on the 'data' axis.
     """
     loss = GANLoss(G, D, loss_cfg, augment_fn=augment_fn)
-    opt_g, opt_d = make_optimizers(opt_g_cfg, opt_d_cfg, tcfg)
+    opt_g, opt_d = make_optimizers(opt_g_cfg, opt_d_cfg, tcfg, d_lr_scales)
     z_dim = G.cfg.z_dim
     num_frames = G.cfg.sampling.num_frames_per_video
     c_dim = G.cfg.c_dim
