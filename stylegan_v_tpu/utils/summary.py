@@ -1,0 +1,82 @@
+"""Model summary + replicated-state consistency checking.
+
+  * print_module_summary — parameter/shape table for a flax variable tree
+    (reference torch_utils/misc.py:193-272's startup wiring check);
+  * check_replica_consistency — compares pytree content hashes across hosts
+    before checkpointing, the sharded-jit analog of the reference's DDP
+    broadcast-and-compare (reference misc.py:179-188, training_loop.py:487-492).
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def module_summary_rows(variables: Dict[str, Any]) -> List[Dict]:
+    import jax
+    rows = []
+    for coll, tree in variables.items():
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, leaf in flat:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            rows.append(dict(collection=coll, name=name,
+                             shape=tuple(np.shape(leaf)),
+                             params=int(np.prod(np.shape(leaf)))))
+    return rows
+
+
+def print_module_summary(variables: Dict[str, Any], title: str = "Module",
+                         max_rows: int = 200, log=print) -> int:
+    """Print the parameter table; returns total parameter count."""
+    rows = module_summary_rows(variables)
+    total = sum(r["params"] for r in rows if r["collection"] == "params")
+    w = max((len(r["name"]) for r in rows), default=10) + 2
+    log(f"\n{title}  —  {total / 1e6:.2f}M parameters")
+    log(f"{'Name':<{w}}{'Shape':<24}{'Params':>12}  Collection")
+    log("-" * (w + 48))
+    for r in rows[:max_rows]:
+        log(f"{r['name']:<{w}}{str(r['shape']):<24}{r['params']:>12,}  "
+            f"{r['collection']}")
+    if len(rows) > max_rows:
+        log(f"... ({len(rows) - max_rows} more rows)")
+    log("-" * (w + 48))
+    log(f"{'Total':<{w}}{'':<24}{total:>12,}")
+    return total
+
+
+def tree_content_hash(tree, ignore_regex: Optional[str] = None) -> str:
+    """Deterministic md5 over all leaves (sorted by path)."""
+    import jax
+    pat = re.compile(ignore_regex) if ignore_regex else None
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    h = hashlib.md5()
+    for path, leaf in sorted(flat, key=lambda kv: str(kv[0])):
+        name = str(path)
+        if pat and pat.search(name):
+            continue
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def check_replica_consistency(tree, ignore_regex: Optional[str] = None) -> bool:
+    """All hosts must hold identical replicated state (call before
+    checkpointing). Single-process: trivially true. Multi-process: hashes are
+    exchanged via multihost_utils; raises on divergence."""
+    import jax
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+    import jax.numpy as jnp
+    digest = tree_content_hash(tree, ignore_regex)
+    local = jnp.asarray(np.frombuffer(bytes.fromhex(digest), dtype=np.uint8))
+    gathered = multihost_utils.process_allgather(local)
+    same = bool((gathered == gathered[0]).all())
+    if not same:
+        raise RuntimeError(
+            "Replicated training state diverged across hosts "
+            "(the sharded-jit analog of check_ddp_consistency failing)")
+    return True
