@@ -1,1 +1,7 @@
-from .mesh import create_mesh, data_sharding, replicated_sharding, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    create_mesh,
+    data_sharding,
+    initialize_multihost,
+    replicated_sharding,
+    shard_batch,
+)

@@ -43,6 +43,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of [B, ...] arrays sharded on the data axis."""
+    """Place a host pytree of [B, ...] arrays sharded on the data axis.
+
+    Single-process: device_put with the sharding. Multi-process: each host
+    holds its LOCAL batch shard (the loader is rank-strided, reference
+    misc.py:136 semantics) and the global array is assembled across hosts.
+    """
     s = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    from jax import make_array_from_process_local_data
+    return jax.tree_util.tree_map(
+        lambda x: make_array_from_process_local_data(s, x), batch)
+
+
+def initialize_multihost() -> bool:
+    """Initialize jax.distributed when running under a multi-host TPU pod
+    (the replacement for torch.distributed NCCL init, reference
+    train.py:359-366). Controlled by standard JAX env vars
+    (COORDINATOR_ADDRESS etc.); no-op single-host."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False

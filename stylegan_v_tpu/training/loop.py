@@ -50,6 +50,7 @@ def training_loop(setup: TrainSetup,
     import jax
 
     run_dir = setup.run_dir
+    is_chief = jax.process_index() == 0
     os.makedirs(run_dir, exist_ok=True)
     start_time = time.time()
 
@@ -58,10 +59,15 @@ def training_loop(setup: TrainSetup,
     dataset = VideoFramesFolderDataset(**setup.dataset_kwargs)
     log(f"  videos: {len(dataset)}  resolution: {dataset.resolution}  "
         f"labels: {dataset.label_dim if dataset.has_labels else 0}")
+    # per-host shard of the global batch (rank-strided index stream,
+    # reference misc.py:136 / metric_utils.py:230 semantics)
+    n_proc, proc = jax.process_count(), jax.process_index()
+    assert setup.train_cfg.batch_size % n_proc == 0
     loader = TrainingDataLoader(
-        dataset, batch_size=setup.train_cfg.batch_size,
+        dataset, batch_size=setup.train_cfg.batch_size // n_proc,
         gen_sampling=setup.sampling_cfg, use_fractional_t=setup.use_fractional_t,
-        seed=setup.seed, num_workers=setup.num_workers)
+        seed=setup.seed, num_workers=setup.num_workers,
+        rank=proc, num_replicas=n_proc)
 
     # ---- models + state (reference training_loop.py:160-183) ------------
     log("Constructing networks...")
@@ -174,6 +180,10 @@ def training_loop(setup: TrainSetup,
         # snapshots
         if setup.snap_ticks and (cur_tick % setup.snap_ticks == 0 or done):
             log("Saving snapshots...")
+            # replicated-state divergence check before checkpointing (the
+            # sharded-jit analog of check_ddp_consistency)
+            from ..utils.summary import check_replica_consistency
+            check_replica_consistency(state.params_G)
             # image/video panels from G_ema
             ema_vars = {"params": jax.device_get(state.params_Gema),
                         **jax.device_get(state.extra_Gema)}

@@ -43,6 +43,10 @@ class OptimizerConfig:
 @dataclass(frozen=True)
 class TrainingConfig:
     batch_size: int = 64                  # videos per step (global)
+    # microbatch size (videos) per accumulation round; None = whole batch.
+    # The reference's batch_gpu: batch_size > batch_gpu*chips => multiple
+    # rounds per phase per optimizer step (training_loop.py:363-378).
+    batch_chip: Optional[int] = None
     ema_kimg: float = 10.0
     ema_rampup: Optional[float] = None
     G_reg_interval: Optional[int] = 4
@@ -174,12 +178,53 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
     def maybe_c(c):
         return c if c_dim > 0 else None
 
+    def _rounds(B: int) -> int:
+        if tcfg.batch_chip is None or tcfg.batch_chip >= B:
+            return 1
+        assert B % tcfg.batch_chip == 0, \
+            f"batch {B} not divisible by batch_chip {tcfg.batch_chip}"
+        return B // tcfg.batch_chip
+
+    def _split(tree, rounds: int):
+        """Reshape leading batch axis B -> [rounds, B/rounds] for lax.scan."""
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(rounds, x.shape[0] // rounds, *x.shape[1:]), tree)
+
+    def _accum(fn, params, mb_tree, rounds: int, carry0=None):
+        """Gradient accumulation over microbatch rounds (the reference's
+        round loop, training_loop.py:363-378). fn(params, mb, carry) ->
+        ((loss, (carry', stats)), ...). Grads and stats are averaged."""
+        if rounds == 1:
+            (l, (carry, s)), g = jax.value_and_grad(fn, has_aux=True)(
+                params, mb_tree, carry0)
+            return g, s, carry
+
+        mbs = _split(mb_tree, rounds)
+
+        def body(acc, mb):
+            gsum, ssum, carry = acc
+            (l, (carry, s)), g = jax.value_and_grad(fn, has_aux=True)(
+                params, mb, carry)
+            gsum = jax.tree_util.tree_map(lambda a, b: a + b, gsum, g)
+            ssum = {k: ssum[k] + v for k, v in s.items()}
+            return (gsum, ssum, carry), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (l0, (carry, s0)), g0 = jax.value_and_grad(fn, has_aux=True)(
+            params, jax.tree_util.tree_map(lambda x: x[0], mbs), carry0)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], mbs)
+        (gsum, ssum, carry), _ = jax.lax.scan(body, (g0, s0, carry), rest)
+        grads = jax.tree_util.tree_map(lambda a: a / rounds, gsum)
+        stats = {k: v / rounds for k, v in ssum.items()}
+        return grads, stats, carry
+
     @partial(jax.jit, static_argnames=("do_gpl", "do_dr1"),
              donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
                    do_gpl: bool = False, do_dr1: bool = False):
         stats: Dict[str, jax.Array] = {}
         B = batch["real_t"].shape[0]
+        rounds = _rounds(B)
         real_img = batch["real_img"].astype(jnp.float32) / 127.5 - 1.0
         real_img = real_img.reshape(-1, *real_img.shape[2:])       # [B*F, H, W, C]
         real_c = maybe_c(batch["real_c"])
@@ -191,14 +236,21 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         # ---- Gmain ----------------------------------------------------
         z0 = jax.random.normal(keys[0], (B, z_dim))
         vars_D = {"params": state.params_D}
-        (gloss, (new_moving, s)), grads_G = jax.value_and_grad(
-            loss.gmain, has_aux=True)(
-                state.params_G, state.extra_G, vars_D,
-                z0, maybe_c(batch["gen_c"][:, 0]), gen_t[:, 0], keys[1], state.augment_p)
+
+        def gmain_fn(p, mb, extra):
+            l, (new_moving, s) = loss.gmain(
+                p, extra, vars_D, mb["z"], maybe_c(mb["c"]), mb["t"],
+                jax.random.fold_in(keys[1], mb["idx"][0]), state.augment_p)
+            extra = dict(extra)
+            if new_moving is not None:
+                extra["moving"] = new_moving["moving"]
+            return l, (extra, s)
+
+        gmain_mb = {"z": z0, "c": batch["gen_c"][:, 0], "t": gen_t[:, 0],
+                    "idx": jnp.arange(B)}
+        grads_G, s, extra_G = _accum(gmain_fn, state.params_G, gmain_mb, rounds,
+                                     carry0=dict(state.extra_G))
         stats.update(s)
-        extra_G = dict(state.extra_G)
-        if new_moving is not None:
-            extra_G["moving"] = new_moving["moving"]
         updates, opt_G_state = opt_g.update(scrub_grads(grads_G, tcfg.grad_clip_value),
                                             state.opt_G, state.params_G)
         params_G = optax.apply_updates(state.params_G, updates)
@@ -209,13 +261,17 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
             z1 = jax.random.normal(keys[2], (B, z_dim))
             gain = float(tcfg.G_reg_interval or 1)
 
-            def gpl_scaled(p):
-                l, aux = loss.gpl(p, extra_G, z1, maybe_c(batch["gen_c"][:, 1]),
-                                  gen_t[:, 1], keys[3], pl_mean)
-                return l * gain, aux
+            def gpl_fn(p, mb, pl_m):
+                l, (pl_m, s) = loss.gpl(p, extra_G, mb["z"], maybe_c(mb["c"]),
+                                        mb["t"],
+                                        jax.random.fold_in(keys[3], mb["idx"][0]),
+                                        pl_m)
+                return l * gain, (pl_m, s)
 
-            (_, (pl_mean, s)), grads_G = jax.value_and_grad(
-                gpl_scaled, has_aux=True)(params_G)
+            gpl_mb = {"z": z1, "c": batch["gen_c"][:, 1], "t": gen_t[:, 1],
+                      "idx": jnp.arange(B)}
+            grads_G, s, pl_mean = _accum(gpl_fn, params_G, gpl_mb, rounds,
+                                         carry0=pl_mean)
             stats.update(s)
             updates, opt_G_state = opt_g.update(
                 scrub_grads(grads_G, tcfg.grad_clip_value), opt_G_state, params_G)
@@ -224,18 +280,26 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         # ---- Dmain (Dgen + Dreal in one optimizer step) ----------------
         z2 = jax.random.normal(keys[4], (B, z_dim))
         vars_G_new = {"params": params_G, **extra_G}
+        F = real_t.shape[1]
 
-        def dmain(p_d):
-            l1, s1 = loss.dgen(p_d, vars_G_new, {}, z2, maybe_c(batch["gen_c"][:, 2]),
-                               gen_t[:, 2], keys[5], state.augment_p)
-            l2, s2 = loss.dreal_dr1(p_d, {}, real_img, real_c, real_t, keys[6],
-                                    state.augment_p, do_main=True, do_r1=False,
+        def dmain_fn(p_d, mb, _):
+            k = jax.random.fold_in(keys[5], mb["idx"][0])
+            l1, s1 = loss.dgen(p_d, vars_G_new, {}, mb["z"], maybe_c(mb["gc"]),
+                               mb["gt"], jax.random.fold_in(k, 0), state.augment_p)
+            ri = mb["ri"].reshape(-1, *mb["ri"].shape[2:])
+            l2, s2 = loss.dreal_dr1(p_d, {}, ri, maybe_c(mb["rc"]), mb["rt"],
+                                    jax.random.fold_in(k, 1), state.augment_p,
+                                    do_main=True, do_r1=False,
                                     r1_gamma=loss_cfg.r1_gamma)
             s1.update(s2)
             s1["Loss/D/loss"] = l1 + s2.get("Loss/D/loss_real", 0.0)
-            return l1 + l2, s1
+            return l1 + l2, (None, s1)
 
-        (_, s), grads_D = jax.value_and_grad(dmain, has_aux=True)(state.params_D)
+        real_img_b = real_img.reshape(B, F, *real_img.shape[1:])
+        dmain_mb = {"z": z2, "gc": batch["gen_c"][:, 2], "gt": gen_t[:, 2],
+                    "ri": real_img_b, "rc": batch["real_c"], "rt": real_t,
+                    "idx": jnp.arange(B)}
+        grads_D, s, _ = _accum(dmain_fn, state.params_D, dmain_mb, rounds)
         stats.update(s)
         updates_d, opt_D_state = opt_d.update(
             scrub_grads(grads_D, tcfg.grad_clip_value), state.opt_D, state.params_D)
@@ -245,13 +309,17 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         if do_dr1:
             gain = float(tcfg.D_reg_interval or 1)
 
-            def dr1_scaled(p_d):
-                l, s = loss.dreal_dr1(p_d, {}, real_img, real_c, real_t, keys[7],
-                                      state.augment_p, do_main=False, do_r1=True,
-                                      r1_gamma=loss_cfg.r1_gamma)
-                return l * gain, s
+            def dr1_fn(p_d, mb, _):
+                ri = mb["ri"].reshape(-1, *mb["ri"].shape[2:])
+                l, s = loss.dreal_dr1(p_d, {}, ri, maybe_c(mb["rc"]), mb["rt"],
+                                      jax.random.fold_in(keys[7], mb["idx"][0]),
+                                      state.augment_p, do_main=False,
+                                      do_r1=True, r1_gamma=loss_cfg.r1_gamma)
+                return l * gain, (None, s)
 
-            (_, s), grads_D = jax.value_and_grad(dr1_scaled, has_aux=True)(params_D)
+            dr1_mb = {"ri": real_img_b, "rc": batch["real_c"], "rt": real_t,
+                      "idx": jnp.arange(B)}
+            grads_D, s, _ = _accum(dr1_fn, params_D, dr1_mb, rounds)
             stats.update(s)
             updates_d, opt_D_state = opt_d.update(
                 scrub_grads(grads_D, tcfg.grad_clip_value), opt_D_state, params_D)

@@ -115,3 +115,23 @@ def test_sharded_step_matches_replicated_math():
     # result params are replicated across all 8 devices
     leaf = jax.tree_util.tree_leaves(new_state.params_G)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_gradient_accumulation_rounds():
+    """batch_chip < batch_size => microbatch accumulation rounds inside the
+    step (the reference's batch_gpu capability)."""
+    G, D = make_models()
+    tcfg = TrainingConfig(batch_size=4, batch_chip=2)
+    lcfg = LossConfig(r1_gamma=1.0, pl_weight=2.0)
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(), tcfg)
+    step = make_train_step(G, D, lcfg, OptimizerConfig(), OptimizerConfig(),
+                           tcfg, donate=False)
+    batch = make_batch(7, B=4, F=3)
+    new_state, stats = step(state, batch, jax.random.PRNGKey(1),
+                            do_gpl=True, do_dr1=True)
+    assert all(np.isfinite(float(v)) for v in stats.values())
+    dg = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.params_G, new_state.params_G)
+    assert max(jax.tree_util.tree_leaves(dg)) > 0
+    assert float(new_state.pl_mean) != 0.0

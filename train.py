@@ -33,6 +33,9 @@ def main():
                     help="frozen experiment_config.yaml (skips composition)")
     args = ap.parse_args()
 
+    from stylegan_v_tpu.parallel import initialize_multihost
+    initialize_multihost()
+
     from stylegan_v_tpu.utils import config as cfglib
     if args.cfg_path:
         cfg = cfglib.load_frozen(args.cfg_path)
