@@ -376,9 +376,32 @@ class VideoFramesFolderDataset(_ArchiveMixin, Dataset):
                 self.sampling, total_video_len=min(total_len, self.max_num_frames),
                 rng=self._rng) + offset
         frames_idx = np.round(np.asarray(frames_idx)).astype(np.int64)
+        paths = [frame_paths[int(fi)] for fi in frames_idx]
+
+        # Native C++ batch decode (GIL-free thread pool) when all frames are
+        # JPEG and the target shape is known; PIL otherwise. Only profitable
+        # on multi-core hosts (TPU VMs have many cores; PIL's SIMD
+        # libjpeg-turbo wins single-core) — override with SGV_FORCE_NATIVE_JPEG.
+        native_ok = (os.cpu_count() or 1) >= 4 or os.environ.get(
+            "SGV_FORCE_NATIVE_JPEG")
+        if (native_ok and getattr(self, "_raw_shape", None) is not None
+                and all(_file_ext(p) in (".jpg", ".jpeg") for p in paths)):
+            from ..native import fastjpeg
+            if fastjpeg.is_available():
+                bufs = []
+                for p in paths:
+                    with self._open_frame(p) as f:
+                        bufs.append(f.read())
+                H, W, C = self.image_shape
+                try:
+                    return (fastjpeg.decode_jpeg_batch(bufs, H, W, C),
+                            frames_idx - offset)
+                except (ValueError, RuntimeError):
+                    pass        # corrupt / mismatched: fall back to PIL below
+
         images = []
-        for fi in frames_idx:
-            with self._open_frame(frame_paths[int(fi)]) as f:
+        for p in paths:
+            with self._open_frame(p) as f:
                 images.append(load_image_from_buffer(f))
         return np.stack(images), frames_idx - offset
 
