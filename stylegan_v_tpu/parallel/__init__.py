@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from .sharded_eval import sharded_generate_frames  # noqa: F401

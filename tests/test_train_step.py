@@ -135,3 +135,34 @@ def test_gradient_accumulation_rounds():
                                 state.params_G, new_state.params_G)
     assert max(jax.tree_util.tree_leaves(dg)) > 0
     assert float(new_state.pl_mean) != 0.0
+
+
+def test_frame_axis_sharded_generation():
+    """CP analog: videos shard over 'data', frames over 'frame' (SURVEY 5.7)."""
+    import numpy as np
+    from stylegan_v_tpu.parallel import create_mesh
+    from stylegan_v_tpu.parallel.sharded_eval import sharded_generate_frames
+    from stylegan_v_tpu.models import Generator
+    from stylegan_v_tpu.models.motion import MotionMappingNetwork
+    from test_models import small_gen_cfg
+
+    cfg = small_gen_cfg()
+    G = Generator(cfg)
+    mesh = create_mesh(data=4, frame=2)
+    V, T = 4, 8
+    z = jax.random.normal(jax.random.PRNGKey(0), (V, cfg.z_dim))
+    ts = jnp.tile(jnp.arange(T, dtype=jnp.float32)[None], (V, 1))
+    L = MotionMappingNetwork.required_traj_len(cfg, float(T))
+    mz = jax.random.normal(jax.random.PRNGKey(1), (V, L, cfg.motion.z_dim))
+    variables = jax.jit(lambda r, z, t: G.init(r, z, None, t, noise_mode="none"))(
+        {"params": jax.random.PRNGKey(2), "motion": jax.random.PRNGKey(3)},
+        z, ts)
+    out = sharded_generate_frames(G, variables, z, None, ts, mz, mesh,
+                                  noise_mode="none")
+    assert out.shape == (V, T, 32, 32, 3)
+    assert len(out.sharding.device_set) == 8
+    # must equal the unsharded computation
+    ref = G.apply(variables, z, None, ts, motion_z=mz, noise_mode="none",
+                  rngs={"motion": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out).reshape(V * T, 32, 32, 3),
+                               np.asarray(ref), rtol=2e-2, atol=2e-3)
