@@ -267,7 +267,7 @@ class SynthesisNetwork(nn.Module):
             else:
                 ws = jnp.repeat(ws, num_frames, axis=0)
 
-        ws = ws.astype(jnp.float32)
+        ws = ws.astype(jnp.float32)           # split_ws region (networks.py:350)
         chans = channels_dict(cfg)
         log2res = int(math.log2(cfg.img_resolution))
         bf16_resolution = max(2 ** (log2res + 1 - cfg.num_bf16_res), 8)

@@ -52,6 +52,10 @@ def training_loop(setup: TrainSetup,
     run_dir = setup.run_dir
     is_chief = jax.process_index() == 0
     os.makedirs(run_dir, exist_ok=True)
+    from ..utils.logger import Logger
+    logger = Logger(os.path.join(run_dir, "log.txt"), "a") if is_chief else None
+    if logger is not None:
+        logger.install()
     start_time = time.time()
 
     # ---- dataset + loader (reference training_loop.py:141-151) ----------
@@ -111,8 +115,12 @@ def training_loop(setup: TrainSetup,
                               d_lr_scales=d_lr_scales)
 
     # ---- mesh ------------------------------------------------------------
-    mesh = create_mesh(frame=1)
-    log(f"Device mesh: {dict(mesh.shape)}")
+    # data-parallel width = largest device count dividing the batch
+    import math as _math
+    n_dev = len(jax.devices())
+    dp = _math.gcd(setup.train_cfg.batch_size, n_dev)
+    mesh = create_mesh(devices=jax.devices()[:dp], frame=1)
+    log(f"Device mesh: {dict(mesh.shape)} (of {n_dev} devices)")
     state = jax.device_put(state, replicated_sharding(mesh))
 
     # ---- visualization state (reference training_loop.py:272-299) --------
@@ -221,6 +229,8 @@ def training_loop(setup: TrainSetup,
 
     loader.close()
     jsonl.close()
+    if logger is not None:
+        logger.close()
     log(f"Training complete: {cur_nimg // 1000} kimg in "
         f"{format_time(time.time() - start_time)}")
     return dict(cur_nimg=cur_nimg, ticks=cur_tick,

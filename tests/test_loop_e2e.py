@@ -1,0 +1,59 @@
+"""End-to-end training-loop smoke test on the CPU mesh: artifacts, telemetry,
+snapshot/resume round trip (SURVEY §4 test-pyramid level 4)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stylegan_v_tpu.models.config import SamplingConfig
+from stylegan_v_tpu.train_setup import TrainSetup
+from stylegan_v_tpu.training.loop import training_loop
+from stylegan_v_tpu.training.loss import LossConfig
+from stylegan_v_tpu.training.train_step import OptimizerConfig, TrainingConfig
+from test_data import build_video_dataset_dir
+from test_models import small_disc_cfg, small_gen_cfg
+
+
+def tiny_setup(tmp_path, run_name, kimg=0.05, resume=None):
+    sampling = SamplingConfig(num_frames_per_video=3, max_num_frames=16,
+                              total_dists=(1, 2, 4, 8), max_dist=8)
+    ds_path = build_video_dataset_dir(str(tmp_path), num_videos=6,
+                                      frames_per_video=20, res=32)
+    return TrainSetup(
+        run_dir=str(tmp_path / run_name), desc="tiny",
+        gen_cfg=small_gen_cfg(), disc_cfg=small_disc_cfg(),
+        loss_cfg=LossConfig(r1_gamma=0.5, pl_weight=0.0),
+        train_cfg=TrainingConfig(batch_size=4, ema_kimg=0.5, ada_target=0.6),
+        opt_g=OptimizerConfig(lr=0.002), opt_d=OptimizerConfig(lr=0.002),
+        augment_cfg=None, augment_p=0.0,
+        dataset_kwargs=dict(path=ds_path, sampling=sampling, max_num_frames=16),
+        sampling_cfg=sampling, use_fractional_t=True,
+        total_kimg=kimg, kimg_per_tick=0.012, snap_ticks=2,
+        metrics=[], seed=0, num_chips=1, resume=resume, freeze_layers=0,
+        num_workers=2)
+
+
+@pytest.mark.slow
+def test_loop_artifacts_and_resume(tmp_path):
+    setup = tiny_setup(tmp_path, "run")
+    result = training_loop(setup, log=lambda *_: None)
+    assert result["cur_nimg"] >= 48
+    run = tmp_path / "run"
+    files = os.listdir(run)
+    assert "reals.jpg" in files
+    assert "stats.jsonl" in files
+    assert any(f.startswith("fakes") and f.endswith(".jpg") for f in files)
+    assert any(f.startswith("fakes") and f.endswith(".mp4") for f in files)
+    snaps = [f for f in files if f.startswith("network-snapshot-")
+             and not f.endswith(".json")]
+    assert snaps, files
+    # stats.jsonl rows carry mean/std/num per stat
+    rows = [json.loads(l) for l in open(run / "stats.jsonl")]
+    assert rows and "Loss/G/loss" in rows[0]
+    assert set(rows[0]["Loss/G/loss"]) == {"mean", "std", "num"}
+
+    # resume=latest continues from the recorded nimg
+    setup2 = tiny_setup(tmp_path, "run", kimg=0.1, resume="latest")
+    result2 = training_loop(setup2, log=lambda *_: None)
+    assert result2["cur_nimg"] > result["cur_nimg"]
