@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--batch-sizes", default="4,8,16,32")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace (view with TensorBoard)")
     args = ap.parse_args()
 
     import jax
@@ -71,11 +73,19 @@ def main():
             z, None, t)
 
     print(f"device: {jax.devices()[0]}  resolution: {G.cfg.img_resolution}")
-    print(f"{'videos':>8} {'frames':>7} {'s/iter':>9} {'frames/sec':>12}")
-    for bs in [int(b) for b in args.batch_sizes.split(",")]:
-        r = profile_for_batch_size(G, variables, bs, args.frames, args.iters)
-        print(f"{bs:>8} {args.frames:>7} {r['sec_per_iter']:>9.3f} "
-              f"{r['frames_per_sec']:>12.1f}")
+    print(f"{'videos':>8} {'frames':>7} {'s/iter':>9} {'frames/sec':>12} {'peak-mem':>10}")
+    import contextlib
+    ctx = (jax.profiler.trace(args.trace_dir) if args.trace_dir
+           else contextlib.nullcontext())
+    with ctx:
+        for bs in [int(b) for b in args.batch_sizes.split(",")]:
+            r = profile_for_batch_size(G, variables, bs, args.frames, args.iters)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use", 0) / 1e9
+            print(f"{bs:>8} {args.frames:>7} {r['sec_per_iter']:>9.3f} "
+                  f"{r['frames_per_sec']:>12.1f} {peak:>9.2f}G")
+    if args.trace_dir:
+        print(f"trace written to {args.trace_dir}")
 
 
 if __name__ == "__main__":

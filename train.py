@@ -65,6 +65,11 @@ def main():
     resolution, c_dim = probe.resolution, (probe.label_dim if probe.has_labels else 0)
     probe.close()
 
+    if cfg.training.get("debug_nans"):
+        # NaN tracking during debugging (the sanitizer analog, SURVEY 5.2)
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     setup = setup_training(cfg, dataset_resolution=resolution,
                            dataset_c_dim=c_dim, run_dir=run_dir)
 
