@@ -97,6 +97,7 @@ class DiscriminatorConfig:
     concat_res: int = 16                        # frame-fusion resolution (stylegan-v.yaml:49)
     num_frames_div_factor: int = 2              # channel divisor around concat (stylegan-v.yaml:50)
     dummy_c: bool = False
+    freeze_layers: int = 0                      # Freeze-D (reference train.py:319-324)
     resample_filter: Tuple[int, ...] = (1, 3, 3, 1)
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
 

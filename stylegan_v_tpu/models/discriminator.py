@@ -248,6 +248,7 @@ class Discriminator(nn.Module):
             block = DiscriminatorBlock(in_ch, tmp_ch, out_ch, resolution=res,
                                        first_layer_idx=cur_layer_idx,
                                        use_bf16=(res >= bf16_resolution),
+                                       freeze_layers=cfg.freeze_layers,
                                        name=f"b{res}", **common)
             x, img = block(x, img, force_fp32=force_fp32)
             cur_layer_idx += block.num_layers

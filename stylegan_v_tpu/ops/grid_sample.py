@@ -65,25 +65,29 @@ def affine_grid_sample(images: jax.Array, G_inv: jax.Array, out_h: int, out_w: i
     wx = (px - x0).astype(jnp.float32)[..., None]
     wy = (py - y0).astype(jnp.float32)[..., None]
 
+    # TPU gather cost scales with INDEX COUNT and wastes lanes when the
+    # gathered row is narrow. So: pre-pack each pixel's 2x2 neighborhood into
+    # channels (one cheap elementwise pass, lanes 4C instead of C), then ONE
+    # take_along_axis per output pixel instead of four -> ~16x less gather
+    # work than the naive four-corner formulation at C=3..9.
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
 
-    flat = images.reshape(B, H * W, C)
-
-    def gather(yi, xi):
-        idx = (yi * W + xi).reshape(B, out_h * out_w)
-        out = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
-        return out.reshape(B, out_h, out_w, C).astype(jnp.float32)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    out = top * (1 - wy) + bot * wy
+    imgp = jnp.pad(images, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    packed = jnp.concatenate([
+        imgp[:, :H, :W], imgp[:, :H, 1:W + 1],
+        imgp[:, 1:H + 1, :W], imgp[:, 1:H + 1, 1:W + 1]], axis=-1)  # [B,H,W,4C]
+    flat = packed.reshape(B, H * W, 4 * C)
+    idx = (y0i * W + x0i).reshape(B, out_h * out_w)
+    g = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+    g = g.reshape(B, out_h, out_w, 4 * C)
+    # lane SLICES (not a [... ,4, C] reshape): tiny trailing dims tile-pad
+    # catastrophically on TPU (T(8,128) lanes), slices keep the layout.
+    wxc = wx.astype(g.dtype)
+    wyc = wy.astype(g.dtype)
+    top = g[..., 0 * C:1 * C] * (1 - wxc) + g[..., 1 * C:2 * C] * wxc
+    bot = g[..., 2 * C:3 * C] * (1 - wxc) + g[..., 3 * C:4 * C] * wxc
+    out = (top * (1 - wyc) + bot * wyc).astype(jnp.float32)
 
     if in_bounds is not None:
         out = out * in_bounds[..., None].astype(jnp.float32)

@@ -175,6 +175,7 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
         concat_res=int(disc.get("concat_res", 16)),
         num_frames_div_factor=int(disc.get("num_frames_div_factor", 2)),
         dummy_c=bool(disc.get("dummy_c", False)),
+        freeze_layers=int(t.get("freezed", 0)),
         mapping_layers=2,
         sampling=sampling,
     )

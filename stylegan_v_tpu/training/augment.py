@@ -90,6 +90,11 @@ class AugmentConfig:
     cutout: float = 0.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+    # geometric execution: 2 = the reference's anti-aliased pad -> 2x
+    # upsample -> warp -> 2x downsample pipeline; 1 = direct warp with
+    # mirrored sampling (4x fewer TPU gather indices; slight aliasing under
+    # rotation). Throughput-critical training runs may prefer 1.
+    warp_upsample: int = 2
 
 
 # Augpipe presets (reference train.py:36-50 augpipe_specs).
@@ -191,6 +196,43 @@ def _build_fbank() -> np.ndarray:
     return fbank.astype(np.float32)
 
 
+def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad):
+    """The reference's anti-aliased geometric execution: symmetric static pad
+    (no origin shift since mx0==mx1, reference augment.py:286), 2x upsample,
+    bilinear warp on the (H + Hz_pad*2)*2 canvas (augment.py:294), then
+    downsample + crop (augment.py:300). Chunked over batch with per-chunk
+    rematerialization: the upsampled lane-padded intermediates are ~100x the
+    image size at C=3..9, so bounding the chunk keeps peak HBM sane at
+    256^2+ training shapes."""
+    B, H, W, C = images.shape
+    m = Hz_pad * 2
+    ones = jnp.ones((B,))
+    # account for 2x upsample + half-pixel origin (augment.py:290-291)
+    G_inv = scale2d(2 * ones, 2 * ones) @ G_inv @ scale2d(ones / 2, ones / 2)
+    G_inv = (translate2d(-0.5 * ones, -0.5 * ones) @ G_inv
+             @ translate2d(0.5 * ones, 0.5 * ones))
+    out_h, out_w = (H + Hz_pad * 2) * 2, (W + Hz_pad * 2) * 2
+    in_h, in_w = (H + 2 * m) * 2, (W + 2 * m) * 2
+    G_inv = (scale2d(2 / in_w * ones, 2 / in_h * ones) @ G_inv
+             @ scale2d(out_w / 2 * ones, out_h / 2 * ones))
+
+    @jax.checkpoint
+    def warp_chunk(args):
+        x_c, g_c = args
+        x_c = jnp.pad(x_c, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
+        x_c = upsample2d(x_c, Hz_geom, up=2)
+        x_c = affine_grid_sample(x_c, g_c, out_h, out_w, mode="reflect")
+        return downsample2d(x_c, Hz_geom, down=2, padding=-Hz_pad * 2,
+                            flip_filter=True)
+
+    chunk = max(1, min(B, 4))
+    if B % chunk == 0 and B > chunk:
+        xs = images.reshape(B // chunk, chunk, H, W, C)
+        gs = G_inv.reshape(B // chunk, chunk, 3, 3)
+        return jax.lax.map(warp_chunk, (xs, gs)).reshape(B, H, W, C)
+    return warp_chunk((images, G_inv))
+
+
 def make_augment_pipe(cfg: AugmentConfig):
     """Returns augment(rng, images [B,H,W,C], p, debug_percentile=None) -> images.
 
@@ -276,26 +318,16 @@ def make_augment_pipe(cfg: AugmentConfig):
                 G_inv = G_inv @ translate2d(-t[:, 0] * W, -t[:, 1] * H)
 
             # ---- execute geometry (static shapes; see module docstring) --
-            # Symmetric static pad => no origin shift (the reference's
-            # (mx0-mx1)/2 correction, augment.py:286, is zero here).
-            m = Hz_pad * 2
-            imgs = jnp.pad(images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
-            imgs = upsample2d(imgs, Hz_geom, up=2)
-            ones = jnp.ones((B,))
-            # account for 2x upsample + half-pixel origin (augment.py:290-291)
-            G_inv = scale2d(2 * ones, 2 * ones) @ G_inv @ scale2d(ones / 2, ones / 2)
-            G_inv = (translate2d(-0.5 * ones, -0.5 * ones) @ G_inv
-                     @ translate2d(0.5 * ones, 0.5 * ones))
-            # output canvas: (H + Hz_pad*2) * 2 like the reference
-            # (augment.py:294); input canvas is our padded+upsampled image.
-            out_h, out_w = (H + Hz_pad * 2) * 2, (W + Hz_pad * 2) * 2
-            in_h, in_w = imgs.shape[1], imgs.shape[2]
-            G_inv = (scale2d(2 / in_w * ones, 2 / in_h * ones) @ G_inv
-                     @ scale2d(out_w / 2 * ones, out_h / 2 * ones))
-            imgs = affine_grid_sample(imgs, G_inv, out_h, out_w, mode="reflect")
-            # downsample + crop back to H x W (augment.py:300)
-            images = downsample2d(imgs, Hz_geom, down=2, padding=-Hz_pad * 2,
-                                  flip_filter=True)
+            if cfg.warp_upsample == 1:
+                # fast path: direct warp with mirrored sampling, no AA
+                # pipeline — 4x fewer gather indices (TPU gathers are
+                # index-count bound); slight aliasing under rotation.
+                ones = jnp.ones((B,))
+                Gn = (scale2d(2 / W * ones, 2 / H * ones) @ G_inv
+                      @ scale2d(W / 2 * ones, H / 2 * ones))
+                images = affine_grid_sample(images, Gn, H, W, mode="reflect")
+            else:
+                images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad)
 
         # ---- color transforms --------------------------------------------
         if color_enabled:

@@ -88,7 +88,10 @@ class GANLoss:
         return self.G.apply(vars_G, ws, t, c, method=call, rngs=rngs)
 
     def run_D(self, vars_D, img, c, t, rng, augment_p):
-        """Video-consistent ADA + D (reference loss.py:56-72)."""
+        """Video-consistent ADA + D (reference loss.py:56-72).
+
+        The geometric warp is rematerialized per batch chunk inside the
+        augment pipe (see augment.py warp_chunk)."""
         if self.augment_fn is not None:
             if self.cfg.video_consistent_aug and self.num_frames > 1:
                 nf, h, w, ch = img.shape

@@ -212,3 +212,23 @@ def test_generator_jit_and_grad():
     # every parameter receives gradient somewhere (no dead branches)
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert total > 0
+
+
+def test_freeze_d_blocks_gradients():
+    """Freeze-D: the first freeze_layers D layers receive zero gradient
+    (reference train.py:319-324 via per-layer trainable flags)."""
+    from stylegan_v_tpu.models.config import replace as cfg_replace
+    dcfg = small_disc_cfg(freeze_layers=2)
+    D = Discriminator(dcfg)
+    B, F = 2, 3
+    img = jax.random.normal(jax.random.PRNGKey(0), (B * F, 32, 32, 3))
+    t = jnp.zeros((B, F)) + jnp.arange(F)[None]
+    params = D.init(jax.random.PRNGKey(1), img, None, t)["params"]
+
+    g = jax.grad(lambda p: jnp.sum(
+        D.apply({"params": p}, img, None, t)["image_logits"]))(params)
+    # first block's fromrgb (layer 0) and conv0 (layer 1) frozen
+    assert float(jnp.abs(g["b32"]["fromrgb"]["weight"]).max()) == 0.0
+    assert float(jnp.abs(g["b32"]["conv0"]["weight"]).max()) == 0.0
+    # conv1 (layer 2) trainable
+    assert float(jnp.abs(g["b32"]["conv1"]["weight"]).max()) > 0.0
