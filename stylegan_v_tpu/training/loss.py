@@ -17,8 +17,8 @@ Phases (reference loss.py:74-173):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ where `step % interval == 0`, selected HOST-side so each program stays static
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
