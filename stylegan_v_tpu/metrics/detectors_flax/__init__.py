@@ -1,0 +1,1 @@
+from .i3d import InceptionI3d, convert_i3d_state_dict, i3d_features_fn  # noqa: F401

@@ -150,6 +150,17 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
     for d in _detector_search_dirs(opts):
         path = os.path.join(d, fname)
         if os.path.exists(path):
+            if name == "i3d" and os.environ.get("SGV_I3D_FLAX"):
+                # native on-TPU feature extraction: convert the pytorch_i3d
+                # weights into the flax InceptionI3d (architecture+converter
+                # parity-tested; TorchScript execution remains the bit-exact
+                # reference path)
+                import torch
+                from .detectors_flax import convert_i3d_state_dict, i3d_features_fn
+                sd = torch.jit.load(path).state_dict()
+                variables = convert_i3d_state_dict(
+                    {k: v.numpy() for k, v in sd.items()})
+                return i3d_features_fn(variables)
             return _torchscript_detector(path, name, **detector_kwargs)
     raise FileNotFoundError(
         f"Detector '{name}' ({fname}) not found in {_detector_search_dirs(opts)}. "
