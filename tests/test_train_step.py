@@ -166,3 +166,31 @@ def test_frame_axis_sharded_generation():
                   rngs={"motion": jax.random.PRNGKey(0)})
     np.testing.assert_allclose(np.asarray(out).reshape(V * T, 32, 32, 3),
                                np.asarray(ref), rtol=2e-2, atol=2e-3)
+
+
+def test_conditional_training_step():
+    """Class-conditional path (UCF-101 style): c flows through mapping embed,
+    motion encoder concat, and D's label projection."""
+    from test_models import small_gen_cfg, small_disc_cfg
+    C_DIM = 5
+    G = Generator(small_gen_cfg(c_dim=C_DIM))
+    D = Discriminator(small_disc_cfg(c_dim=C_DIM))
+    tcfg = TrainingConfig(batch_size=4)
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(), tcfg)
+    step = make_train_step(G, D, LossConfig(r1_gamma=1.0), OptimizerConfig(),
+                           OptimizerConfig(), tcfg, donate=False)
+    batch = make_batch(0, B=4, F=3, c_dim=C_DIM)
+    # one-hot labels
+    r = np.random.RandomState(1)
+    eye = np.eye(C_DIM, dtype=np.float32)
+    batch["real_c"] = eye[r.randint(C_DIM, size=4)]
+    batch["gen_c"] = eye[r.randint(C_DIM, size=(4, 3))]
+    new_state, stats = step(state, batch, jax.random.PRNGKey(1), do_dr1=True)
+    assert np.isfinite(float(stats["Loss/G/loss"]))
+    assert np.isfinite(float(stats["Loss/r1_penalty"]))
+    # label-embedding params received gradients
+    d_emb = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state.params_D["mapping"]["embed"],
+                                   new_state.params_D["mapping"]["embed"])
+    assert max(jax.tree_util.tree_leaves(d_emb)) > 0
