@@ -150,6 +150,20 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
     for d in _detector_search_dirs(opts):
         path = os.path.join(d, fname)
         if os.path.exists(path):
+            if name == "inception" and os.environ.get("SGV_INCEPTION_FLAX"):
+                import torch
+                import jax
+                from .detectors_flax.inception_v3 import (
+                    InceptionV3, convert_inception_state_dict,
+                    inception_features_fn)
+                sd = torch.jit.load(path).state_dict()
+                model = InceptionV3()
+                import jax.numpy as jnp
+                template = model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 299, 299, 3)))
+                variables = convert_inception_state_dict(
+                    {k: v.numpy() for k, v in sd.items()}, template)
+                return inception_features_fn(variables)
             if name == "i3d" and os.environ.get("SGV_I3D_FLAX"):
                 # native on-TPU feature extraction: convert the pytorch_i3d
                 # weights into the flax InceptionI3d (architecture+converter
