@@ -49,18 +49,15 @@ def load_any_checkpoint(path: str):
     if path.endswith(".pkl"):
         from stylegan_v_tpu.io import (convert_generator_state,
                                        flatten_module_state, load_network_pkl)
-        from stylegan_v_tpu.io.legacy import StubModule
+        from stylegan_v_tpu.io.legacy import StubModule, infer_generator_config
         data = load_network_pkl(path)
         stub = data.get("G_ema") or data.get("G")
         assert isinstance(stub, StubModule), "no generator found in pkl"
-        flat = flatten_module_state(stub)
-        variables = convert_generator_state(flat)
-        # model config must be supplied or inferred; infer resolution from torgb
-        raise SystemExit(
-            "Loading a reference .pkl requires --cfg-path pointing at a config "
-            "describing the generator architecture (resolution, dims); "
-            "see README. Weights were parsed successfully: "
-            f"{len(flat)} tensors.")
+        gcfg = infer_generator_config(stub)
+        variables = convert_generator_state(flatten_module_state(stub))
+        print(f"  imported reference pkl: {gcfg.img_resolution}^2, "
+              f"w_dim {gcfg.w_dim}")
+        return Generator(gcfg), variables
     else:
         from stylegan_v_tpu.io import load_snapshot
         from stylegan_v_tpu.io.checkpoint import meta_decode

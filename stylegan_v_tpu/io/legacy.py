@@ -30,9 +30,14 @@ import numpy as np
 class StubModule:
     """Inert stand-in for a persistence-embedded torch module."""
 
-    def __init__(self, meta: Dict[str, Any]):
+    def __init__(self, meta: Optional[Dict[str, Any]] = None):
+        meta = meta or {}
         self.class_name = meta.get("class_name")
         self.state = meta.get("state") or {}
+
+    def __setstate__(self, state):
+        # plain-pickled (non-persistence) reference objects land here
+        self.state = state if isinstance(state, dict) else {"state": state}
 
     def __repr__(self):
         return f"StubModule({self.class_name})"
@@ -40,6 +45,18 @@ class StubModule:
 
 def _reconstruct_stub(meta):
     return StubModule(meta)
+
+
+_stub_types: Dict[tuple, type] = {}
+
+
+def _stub_type(module: str, name: str) -> type:
+    """A real CLASS (NEWOBJ-compatible) standing in for a reference symbol."""
+    key = (module, name)
+    if key not in _stub_types:
+        cls = type(name, (StubModule,), {"_stub_origin": f"{module}.{name}"})
+        _stub_types[key] = cls
+    return _stub_types[key]
 
 
 class _EasyDict(dict):
@@ -74,13 +91,11 @@ class SafeRefUnpickler(pickle.Unpickler):
         if module.startswith(("torch.", "torch_utils.", "src.torch_utils.",
                               "collections", "numpy", "builtins")) or module == "torch":
             if module.startswith(("torch_utils", "src.torch_utils")):
-                # any other reference-internal symbol -> inert stub factory
-                return lambda *a, **kw: StubModule(
-                    {"class_name": f"{module}.{name}", "state": {"args": a, "kwargs": kw}})
+                # any other reference-internal symbol -> inert stub type
+                return _stub_type(module, name)
             return super().find_class(module, name)
         if module.startswith(("training.", "src.training.", "metrics.", "src.metrics.")):
-            return lambda *a, **kw: StubModule(
-                {"class_name": f"{module}.{name}", "state": {"args": a, "kwargs": kw}})
+            return _stub_type(module, name)
         return super().find_class(module, name)
 
 
@@ -104,10 +119,19 @@ def _to_np(x):
 
 
 def flatten_module_state(obj, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Walk a StubModule tree (the pickled nn.Module __dict__ structure:
-    _parameters / _buffers / _modules) into a flat state_dict."""
+    """Walk a module tree (the pickled nn.Module __dict__ structure:
+    _parameters / _buffers / _modules) into a flat state_dict.
+
+    Handles StubModule nodes (whose state carries the pickled __dict__) and
+    plain torch modules (e.g. nn.Sequential wrappers whose CHILDREN may again
+    be stubs — so torch's own state_dict() cannot be used)."""
     out: Dict[str, np.ndarray] = {}
-    state = obj.state if isinstance(obj, StubModule) else obj
+    if isinstance(obj, StubModule):
+        state = obj.state
+    elif isinstance(obj, dict):
+        state = obj
+    else:
+        state = getattr(obj, "__dict__", None)   # plain torch module
     if not isinstance(state, dict):
         return out
     for coll in ("_parameters", "_buffers"):
@@ -116,20 +140,7 @@ def flatten_module_state(obj, prefix: str = "") -> Dict[str, np.ndarray]:
             if arr is not None:
                 out[prefix + name] = arr
     for name, child in (state.get("_modules") or {}).items():
-        if child is None:
-            continue
-        if isinstance(child, StubModule):
-            out.update(flatten_module_state(child, prefix + name + "."))
-        else:
-            # plain torch module (e.g. nn.Sequential / nn.LSTM / nn.Embedding)
-            try:
-                import torch
-                if isinstance(child, torch.nn.Module):
-                    for n, p in child.state_dict().items():
-                        out[prefix + name + "." + n] = p.detach().cpu().numpy()
-                    continue
-            except ImportError:
-                pass
+        if child is not None:
             out.update(flatten_module_state(child, prefix + name + "."))
     return out
 
@@ -284,3 +295,91 @@ def convert_discriminator_state(flat: Dict[str, np.ndarray],
             _set(params, (block, layer, parts[2]), val.astype(np.float32))
             continue
     return {"params": params}
+
+
+def import_reference_snapshot(path: str, gen_template=None, disc_template=None,
+                              epilogue_channels: Optional[int] = None):
+    """Weights-only import of a reference network-snapshot pickle for
+    transfer learning (reference resume_pkl semantics, train.py:283-317 +
+    training_loop.py:167-177: partial copy, require_all=False).
+
+    Returns {'G': variables|None, 'G_ema': variables|None, 'D': variables|None}
+    with converted trees; entries whose stubs are absent are None. Templates,
+    when given, receive a name-matched partial copy so missing/new parameters
+    keep their fresh initialization.
+    """
+    from .checkpoint import copy_params
+
+    data = load_network_pkl(path)
+    out = {}
+    for key in ("G", "G_ema", "D"):
+        stub = data.get(key)
+        if not isinstance(stub, StubModule):
+            out[key] = None
+            continue
+        flat = flatten_module_state(stub)
+        if key == "D":
+            conv = convert_discriminator_state(
+                flat, epilogue_channels=epilogue_channels)
+            template = disc_template
+        else:
+            conv = convert_generator_state(flat)
+            template = gen_template
+        if template is not None:
+            conv = {coll: copy_params(conv.get(coll, {}), template[coll])
+                    for coll in template}
+        out[key] = conv
+    return out
+
+
+def infer_generator_config(stub: StubModule):
+    """Reconstruct a models.GeneratorConfig from the init-args capture that
+    persistence embeds in every snapshot (reference persistence.py:103-116 —
+    the part of source-embedding worth keeping)."""
+    from ..models.config import (DiscriminatorConfig, GeneratorConfig,
+                                 MotionConfig, SamplingConfig, TimeEncConfig)
+
+    kw = dict(stub.state.get("_init_kwargs") or {})
+    args = list(stub.state.get("_init_args") or [])
+    cfg = dict(kw.get("cfg") or {})
+    syn = dict(kw.get("synthesis_kwargs") or {})
+    mapping_kwargs = dict(kw.get("mapping_kwargs") or {})
+    motion = dict(cfg.get("motion") or {})
+    time_enc = dict(cfg.get("time_enc") or {})
+    samp = dict(cfg.get("sampling") or {})
+
+    sampling = SamplingConfig(
+        type=samp.get("type", "random"),
+        num_frames_per_video=int(samp.get("num_frames_per_video", 3)),
+        max_num_frames=int(samp.get("max_num_frames", 1024)),
+        fps=float(samp.get("fps", 25)),
+        total_dists=tuple(samp["total_dists"]) if samp.get("total_dists") else None,
+        max_dist=samp.get("max_dist", 32))
+    num_fp16_res = int(syn.get("num_fp16_res", 0))
+    return GeneratorConfig(
+        w_dim=int(kw.get("w_dim", 512)),
+        z_dim=int(cfg.get("z_dim", kw.get("w_dim", 512))),
+        c_dim=int(kw.get("c_dim", 0)),
+        img_resolution=int(kw.get("img_resolution", 256)),
+        img_channels=int(kw.get("img_channels", 3)),
+        channel_base=int(syn.get("channel_base", 32768)),
+        channel_max=int(syn.get("channel_max", 512)),
+        num_bf16_res=num_fp16_res,
+        conv_clamp=syn.get("conv_clamp"),
+        use_noise=bool(cfg.get("use_noise", False)),
+        input_type=(cfg.get("input") or {}).get("type", "temporal"),
+        mapping_layers=int(mapping_kwargs.get("num_layers", 8)),
+        motion=MotionConfig(
+            z_dim=int(motion.get("z_dim", 512)),
+            v_dim=int(motion.get("v_dim", 512)),
+            motion_z_distance=int(motion.get("motion_z_distance", 16)),
+            gen_strategy=motion.get("gen_strategy", "conv"),
+            kernel_size=int(motion.get("kernel_size", 11)),
+            use_fractional_t=bool(motion.get("use_fractional_t", True)),
+            fourier=bool(motion.get("fourier", True))),
+        time_enc=TimeEncConfig(
+            cond_type=time_enc.get("cond_type", "concat_const"),
+            dim=int(time_enc.get("dim", 256)),
+            min_period_len=int(time_enc.get("min_period_len", 16)),
+            max_period_len=int(time_enc.get("max_period_len", 1024))),
+        sampling=sampling)

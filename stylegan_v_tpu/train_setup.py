@@ -206,8 +206,12 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
             raise UserError(f"Unknown augpipe: {pipe}")
         augment_cfg = AugmentConfig(**AUGPIPE_SPECS[pipe])
 
+    # reference batch_gpu semantics: microbatch per accumulation round
+    # (train.py:229-235); defaults to whole batch when unset.
+    batch_chip = t.get("batch_gpu")
     train_cfg = TrainingConfig(
         batch_size=int(spec.mb),
+        batch_chip=int(batch_chip) if batch_chip else None,
         ema_kimg=float(spec.ema),
         ema_rampup=spec.ramp,
         G_reg_interval=4 if loss_cfg.pl_weight > 0 else None,

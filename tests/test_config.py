@@ -81,3 +81,11 @@ def test_cond_without_labels_raises():
     cfg = cfglib.load_config(CONFIG_DIR, ["training.cond=true"])
     with pytest.raises(UserError):
         setup_training(cfg, dataset_resolution=64, dataset_c_dim=0)
+
+
+def test_batch_gpu_maps_to_accumulation():
+    cfg = cfglib.load_config(CONFIG_DIR, ["training.batch_size=16",
+                                          "training.batch_gpu=4"])
+    setup = setup_training(cfg, dataset_resolution=64, dataset_c_dim=0)
+    assert setup.train_cfg.batch_size == 16
+    assert setup.train_cfg.batch_chip == 4

@@ -170,3 +170,64 @@ def test_discriminator_logit_parity(ref_modules):
         variables, jnp.asarray(img.transpose(0, 2, 3, 1)), None,
         jnp.asarray(t))["image_logits"])
     np.testing.assert_allclose(my_logits, ref_logits, atol=1e-2, rtol=1e-3)
+
+
+def test_full_snapshot_pickle_roundtrip(ref_modules, tmp_path):
+    """A REAL persistence-style snapshot pickle (live reference modules with
+    embedded source) read back WITHOUT executing embedded code, converted,
+    and verified to reproduce reference outputs."""
+    install()
+    import pickle
+    import torch
+    RefG, RefD = ref_modules
+    snap = dict(G=RefG, D=RefD, G_ema=RefG,
+                training_set_kwargs={"path": "x.zip"}, cur_nimg=1234)
+    p = str(tmp_path / "network-snapshot-000001.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(snap, f)
+
+    from stylegan_v_tpu.io.legacy import import_reference_snapshot
+    gcfg, dcfg = my_cfgs()
+    out = import_reference_snapshot(p, epilogue_channels=64)
+    assert out["G_ema"] is not None and out["D"] is not None
+
+    myG = Generator(gcfg)
+    B, F = 1, 3
+    rng = np.random.RandomState(5)
+    z = rng.randn(B, 64).astype(np.float32)
+    t = np.array([[0.0, 4.0, 11.0]], np.float32)
+    from stylegan_v_tpu.models.motion import MotionMappingNetwork
+    L = MotionMappingNetwork.required_traj_len(gcfg, float(t.max()))
+    mz = rng.randn(B, L, 32).astype(np.float32)
+    with torch.no_grad():
+        want = RefG(torch.from_numpy(z), torch.zeros(B, 0), torch.from_numpy(t),
+                    motion_z=torch.from_numpy(mz), noise_mode="none").numpy()
+    got = np.asarray(myG.apply(out["G_ema"], jnp.asarray(z), None, jnp.asarray(t),
+                               motion_z=jnp.asarray(mz), noise_mode="none"))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-2, atol=5e-3)
+
+
+def test_generate_from_reference_pkl_end_to_end(ref_modules, tmp_path):
+    """The BASELINE config-#1 flow: a reference snapshot pkl -> generate.py's
+    loader -> video synthesis, with config auto-inferred from the pickle's
+    init-args capture."""
+    install()
+    import pickle
+    import sys
+    RefG, _ = ref_modules
+    p = str(tmp_path / "network-snapshot-000002.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(dict(G_ema=RefG), f)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from generate import load_any_checkpoint
+    G, variables = load_any_checkpoint(p)
+    assert G.cfg.img_resolution == 32
+    assert G.cfg.motion.z_dim == 32
+    from stylegan_v_tpu.training.video_io import generate_videos
+    vids = generate_videos(G, variables, np.zeros((1, 64), np.float32), None,
+                           np.arange(4, dtype=np.float32)[None],
+                           noise_mode="none")
+    assert vids.shape == (1, 4, 32, 32, 3)
+    assert np.isfinite(vids).all()
