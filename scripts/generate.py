@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--noise-mode", default="const",
                     choices=["const", "random", "none"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--class-idx", type=int, default=None,
+                    help="class label for conditional models (omit = random)")
     ap.add_argument("--as-grids", action="store_true",
                     help="one grid mp4 instead of per-video mp4s")
     ap.add_argument("--save-as-frames", action="store_true")
@@ -116,6 +118,10 @@ def main():
           + np.tile(np.arange(args.video_len, dtype=np.float32)[None], (n, 1))
           / args.slowmo)
     c = None
+    if G.cfg.c_dim > 0:
+        idx = (np.full(n, args.class_idx) if args.class_idx is not None
+               else rng.randint(G.cfg.c_dim, size=n))
+        c = np.eye(G.cfg.c_dim, dtype=np.float32)[idx]
 
     motion_z = None
     if args.moco_decomposition and G.cfg.has_motion:

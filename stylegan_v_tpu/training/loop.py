@@ -95,9 +95,34 @@ def training_loop(setup: TrainSetup,
                for l in jax.tree_util.tree_leaves(state.params_D))
     log(f"  G params: {n_gp/1e6:.2f}M   D params: {n_dp/1e6:.2f}M")
 
+    from ..utils.summary import print_module_summary
+    print_module_summary({"params": state.params_G}, "Generator",
+                         max_rows=0, log=log)
+    print_module_summary({"params": state.params_D}, "Discriminator",
+                         max_rows=0, log=log)
+
     # ---- resume (reference train.py:283-317, training_loop.py:167-183) ---
     resume_nimg = 0
-    if setup.resume:
+    if setup.resume and str(setup.resume).endswith(".pkl"):
+        # weights-only transfer learning from a reference snapshot pickle
+        # (reference resume_pkl semantics: partial copy, counters untouched)
+        log(f"Importing reference snapshot {setup.resume} (weights only)")
+        from ..io.legacy import import_reference_snapshot
+        chans4 = min(setup.disc_cfg.channel_base // 4, setup.disc_cfg.channel_max)
+        imported = import_reference_snapshot(
+            setup.resume,
+            gen_template={"params": state.params_G, **state.extra_G},
+            disc_template={"params": state.params_D},
+            epilogue_channels=chans4)
+        if imported["G"] is not None:
+            state = state.replace(params_G=imported["G"]["params"],
+                                  extra_G={k: v for k, v in imported["G"].items()
+                                           if k != "params"} or state.extra_G)
+        if imported["G_ema"] is not None:
+            state = state.replace(params_Gema=imported["G_ema"]["params"])
+        if imported["D"] is not None:
+            state = state.replace(params_D=imported["D"]["params"])
+    elif setup.resume:
         path = (find_latest_snapshot(run_dir) if setup.resume == "latest"
                 else setup.resume)
         if path:

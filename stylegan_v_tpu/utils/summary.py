@@ -33,6 +33,9 @@ def print_module_summary(variables: Dict[str, Any], title: str = "Module",
     """Print the parameter table; returns total parameter count."""
     rows = module_summary_rows(variables)
     total = sum(r["params"] for r in rows if r["collection"] == "params")
+    if max_rows <= 0:      # summary line only
+        log(f"{title}: {total / 1e6:.2f}M parameters in {len(rows)} tensors")
+        return total
     w = max((len(r["name"]) for r in rows), default=10) + 2
     log(f"\n{title}  —  {total / 1e6:.2f}M parameters")
     log(f"{'Name':<{w}}{'Shape':<24}{'Params':>12}  Collection")

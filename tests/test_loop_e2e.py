@@ -57,3 +57,30 @@ def test_loop_artifacts_and_resume(tmp_path):
     setup2 = tiny_setup(tmp_path, "run", kimg=0.1, resume="latest")
     result2 = training_loop(setup2, log=lambda *_: None)
     assert result2["cur_nimg"] > result["cur_nimg"]
+
+
+@pytest.mark.slow
+def test_loop_transfer_from_reference_pkl(tmp_path):
+    """resume=<reference pkl> imports weights before training (transfer
+    learning); needs /root/reference to build the pickle."""
+    if not os.path.isdir("/root/reference/src"):
+        pytest.skip("reference repo unavailable")
+    import pickle
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_shims import install, make_ref_cfg
+    install()
+    from src.training.networks import Generator as RefG
+    RefG_inst = RefG(c_dim=0, w_dim=64, img_resolution=32, img_channels=3,
+                     cfg=make_ref_cfg(),
+                     mapping_kwargs={"num_layers": 2},
+                     synthesis_kwargs={"channel_base": 1024, "channel_max": 64,
+                                       "num_fp16_res": 0, "conv_clamp": None})
+    pkl = str(tmp_path / "ref.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(dict(G_ema=RefG_inst, G=RefG_inst), f)
+
+    # tiny_setup's small_gen_cfg matches the reference dims except sampling
+    setup = tiny_setup(tmp_path, "xfer", kimg=0.02, resume=pkl)
+    result = training_loop(setup, log=lambda *_: None)
+    assert result["cur_nimg"] > 0
