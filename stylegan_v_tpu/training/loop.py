@@ -238,12 +238,14 @@ def training_loop(setup: TrainSetup,
                     for metric in setup.metrics:
                         r = metric_main.calc_metric(
                             metric=metric, G=G, G_variables=ema_vars,
-                            dataset_kwargs=setup.dataset_kwargs, run_dir=run_dir)
+                            dataset_kwargs=setup.dataset_kwargs)
                         metric_main.report_metric(r, run_dir=run_dir,
                                                   snapshot_nimg=cur_nimg)
                         log(f"  {metric}: {r['results']}")
                 except Exception as e:                     # metrics are best-effort
-                    log(f"  metric evaluation failed: {e}")
+                    import traceback
+                    log(f"  metric evaluation failed: {e!r}")
+                    log(traceback.format_exc(limit=3))
 
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, setup.total_kimg)

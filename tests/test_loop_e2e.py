@@ -84,3 +84,33 @@ def test_loop_transfer_from_reference_pkl(tmp_path):
     setup = tiny_setup(tmp_path, "xfer", kimg=0.02, resume=pkl)
     result = training_loop(setup, log=lambda *_: None)
     assert result["cur_nimg"] > 0
+
+
+@pytest.mark.slow
+def test_loop_in_training_metrics(tmp_path):
+    """In-training metric evaluation runs and writes metric jsonl."""
+    from stylegan_v_tpu.metrics import metric_main, register_detector
+    from test_metrics import stub_video_detector
+
+    register_detector("i3d", stub_video_detector)
+    if not metric_main.is_valid_metric("tinyfvd"):
+        @metric_main.register_metric
+        def tinyfvd(opts):
+            from stylegan_v_tpu.metrics.frechet_video_distance import compute_fvd
+            return {"tinyfvd": compute_fvd(opts, max_real=4, num_gen=4,
+                                           num_frames=4)}
+
+    setup = tiny_setup(tmp_path, "mrun", kimg=0.03)
+    setup.metrics = ["tinyfvd"]
+    setup = dataclasses_replace_snap(setup)
+    logs = []
+    training_loop(setup, log=logs.append)
+    jsonl = tmp_path / "mrun" / "metric-tinyfvd.jsonl"
+    assert jsonl.exists(), "\n".join(str(l) for l in logs[-10:])
+    rec = json.loads(open(jsonl).readline())
+    assert np.isfinite(rec["results"]["tinyfvd"])
+
+
+def dataclasses_replace_snap(setup):
+    setup.snap_ticks = 1
+    return setup
