@@ -136,7 +136,8 @@ def main():
     videos = generate_videos(G, variables, z, c, ts, motion_z=motion_z,
                              noise_mode=args.noise_mode,
                              truncation_psi=args.truncation_psi,
-                             batch_size_num_frames=args.batch_size_num_frames)
+                             batch_size_num_frames=args.batch_size_num_frames,
+                             seed=args.seed)
 
     os.makedirs(args.output_dir, exist_ok=True)
     if args.as_grids or args.moco_decomposition:

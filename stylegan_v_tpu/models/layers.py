@@ -274,8 +274,10 @@ class TemporalDifferenceEncoder(nn.Module):
         nf = self.sampling.num_frames_per_video
         if nf == 1:
             return 1
-        fdim = FixedTimeEncoder(self.sampling.max_num_frames,
-                                self.skip_small_t_freqs).get_dim()
+        # pure computation (constructing a child module here would require a
+        # bound linen scope)
+        fdim = 2 * construct_log_spaced_freqs(
+            self.sampling.max_num_frames, self.skip_small_t_freqs).shape[1]
         if self.sampling.type == "uniform":
             return self.d + fdim
         return (self.d + fdim) * (nf - 1)

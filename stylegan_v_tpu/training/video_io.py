@@ -18,7 +18,7 @@ import numpy as np
 
 def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "const",
                     truncation_psi: float = 1.0, batch_size_num_frames: int = 100,
-                    verbose: bool = False) -> np.ndarray:
+                    seed: int = 0, verbose: bool = False) -> np.ndarray:
     """Chunked video synthesis (reference logging.py:17-81).
 
     Args:
@@ -40,7 +40,7 @@ def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "co
         # one trajectory for the whole clip (temporal coherence across chunks)
         from ..models.motion import MotionMappingNetwork
         L = MotionMappingNetwork.required_traj_len(cfg, float(jnp.max(ts)))
-        motion_z = jax.random.normal(jax.random.PRNGKey(np.random.randint(1 << 31)),
+        motion_z = jax.random.normal(jax.random.PRNGKey(seed),
                                      (N, L, cfg.motion.z_dim))
 
     num_chunks = (T + batch_size_num_frames - 1) // batch_size_num_frames

@@ -232,3 +232,23 @@ def test_freeze_d_blocks_gradients():
     assert float(jnp.abs(g["b32"]["conv0"]["weight"]).max()) == 0.0
     # conv1 (layer 2) trainable
     assert float(jnp.abs(g["b32"]["conv1"]["weight"]).max()) > 0.0
+
+
+def test_uniform_sampling_discriminator_dims():
+    """Uniform frame sampling collapses the time-delta encoding to ONE delta
+    (reference layers.py:272-287)."""
+    from stylegan_v_tpu.models.layers import TemporalDifferenceEncoder
+    uni = SamplingConfig(type="uniform", num_frames_per_video=3, max_num_frames=64)
+    enc = TemporalDifferenceEncoder(uni)
+    rnd = SamplingConfig(type="random", num_frames_per_video=3, max_num_frames=64)
+    enc_r = TemporalDifferenceEncoder(rnd)
+    fdim = 2 * int(np.ceil(np.log2(64)))
+    assert enc.get_dim() == 256 + fdim
+    assert enc_r.get_dim() == (256 + fdim) * 2
+    t = jnp.asarray([[0.0, 4.0, 8.0]])
+    p = enc.init(jax.random.PRNGKey(0), t)
+    out = enc.apply(p, t)
+    assert out.shape == (1, enc.get_dim())
+    # equal-spacing invariance: only the first delta matters for uniform
+    out2 = enc.apply(p, jnp.asarray([[10.0, 14.0, 18.0]]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
