@@ -177,12 +177,18 @@ def training_loop(setup: TrainSetup,
 
     log(f"Training for {setup.total_kimg} kimg ({total_steps} steps)...")
     while True:
+        t_step = time.time()
         batch = shard_batch(mesh, next(loader))
+        t_data = time.time()
         do_gpl = gpl_int is not None and step_idx % gpl_int == 0
         do_dr1 = dr1_int is not None and step_idx % dr1_int == 0
         state, stats = step_fn(state, batch, jax.random.fold_in(rng, step_idx),
                                do_gpl=do_gpl, do_dr1=do_dr1)
         collector.update({k: float(v) for k, v in stats.items()})
+        # per-phase timing telemetry (reference Timing/<phase>,
+        # training_loop.py:254-262; here one fused program per step)
+        collector.report("Timing/data_fetch", t_data - t_step)
+        collector.report("Timing/step_dispatch", time.time() - t_data)
         step_idx += 1
         cur_nimg = int(state.cur_nimg)
 
