@@ -13,8 +13,15 @@ MEASURED STATUS (v5e, [256,128,128,128] bf16, scripts/bench_kernels.py):
                                which Mosaic lowers as expensive relayouts,
                                and the DMA->compute chain is unpipelined)
 The lax path therefore remains the production default; this kernel is kept
-as the validated scaffold for a layout-aware rewrite (roll-based taps,
-double-buffered bands) in a future round.
+as the validated scaffold for a layout-aware rewrite in a future round.
+Investigated alternatives (all measured/probed on v5e, jax 0.9):
+  * strided `lax.slice` inside kernels: Mosaic verifier forbids strides >= 2
+    ('vector.extract_strided_slice expected strides in [1, 2)');
+  * 3-D strided gather: 'Only 2D gather is supported';
+  * host-side phase pre-split: the extra HBM roundtrip (~1.3 ms) erases the
+    theoretical gain.
+Conclusion: stride-2 FIR decimation cannot beat XLA's conv path with the
+Mosaic primitives available in this toolchain version.
 """
 from __future__ import annotations
 
