@@ -255,7 +255,7 @@ def make_augment_pipe(cfg: AugmentConfig):
         p = jnp.asarray(p, jnp.float32)
         dp = (None if debug_percentile is None
               else jnp.asarray(debug_percentile, jnp.float32))
-        keys = iter(jax.random.split(rng, 32))
+        keys = iter(jax.random.split(rng, 64))
 
         def rand(shape):
             return jax.random.uniform(next(keys), shape)

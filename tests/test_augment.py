@@ -130,3 +130,14 @@ def test_golden_video_consistent_channels():
     ym = np.asarray(mine(jax.random.PRNGKey(0), jnp.asarray(x), 1.0,
                          debug_percentile=0.25))
     np.testing.assert_allclose(ym, yr, atol=1e-5)
+
+
+def test_full_bgcfnc_pipeline_smoke():
+    """All 18 transforms active at once (noise/cutout use live rng)."""
+    pipe = make_augment_pipe(AugmentConfig(**AUGPIPE_SPECS["bgcfnc"]))
+    x = jnp.asarray(make_x(B=4, H=32, W=32))
+    y = np.asarray(pipe(jax.random.PRNGKey(5), x, 0.8))
+    assert y.shape == x.shape and np.isfinite(y).all()
+    # cutout at p=0.8 should zero some region for at least one sample
+    y2 = np.asarray(pipe(jax.random.PRNGKey(6), x, 1.0))
+    assert np.isfinite(y2).all()

@@ -41,3 +41,11 @@ def test_copy_params_partial():
     np.testing.assert_array_equal(out["a"]["w"], 1.0)
     np.testing.assert_array_equal(out["b"], 7.0)
     np.testing.assert_array_equal(out["c"], 0.0)   # kept (transfer learning)
+
+
+def test_copy_params_require_all_raises():
+    import pytest as _pytest
+    src = {"a": np.ones((2,))}
+    dst = {"a": np.zeros((2,)), "b": np.zeros((3,))}
+    with _pytest.raises(KeyError):
+        copy_params(src, dst, require_all=True)

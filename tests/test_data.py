@@ -167,3 +167,21 @@ def test_training_loader_batch_contract(tmp_path):
             assert (np.diff(batch["gen_t"], axis=-1) > 0).all()
     finally:
         loader.close()
+
+
+def test_zip_dataset_with_labels(tmp_path):
+    """Label loading through the ZIP path (dataset.json inside the archive)."""
+    import zipfile
+    ds_dir = build_video_dataset_dir(str(tmp_path), num_videos=3,
+                                     frames_per_video=6, labels=[2, 0, 1])
+    zpath = os.path.join(str(tmp_path), "ds.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(ds_dir):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                z.write(full, os.path.relpath(full, ds_dir))
+    ds = VideoFramesFolderDataset(zpath, sampling=SAMPLING, max_num_frames=6,
+                                  use_labels=True)
+    assert ds.label_dim == 3
+    np.testing.assert_array_equal(ds.get_label(0), [0, 0, 1])
+    np.testing.assert_array_equal(ds.get_label(1), [1, 0, 0])
