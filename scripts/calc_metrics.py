@@ -29,7 +29,6 @@ def main():
 
     from generate import load_any_checkpoint
     from stylegan_v_tpu.metrics import metric_main
-    from stylegan_v_tpu.models.config import SamplingConfig
 
     G, variables = load_any_checkpoint(args.network)
     run_dir = args.run_dir or os.path.dirname(os.path.abspath(args.network))

@@ -38,7 +38,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
     import torch
     from transformers import CLIPModel, CLIPProcessor
 

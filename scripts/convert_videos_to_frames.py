@@ -11,7 +11,6 @@ import argparse
 import os
 from concurrent.futures import ProcessPoolExecutor
 
-import numpy as np
 
 
 def convert_one(task):

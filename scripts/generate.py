@@ -43,7 +43,6 @@ def pick_best_checkpoint(networks_dir: str, metric: str = "fvd2048_16f"):
 def load_any_checkpoint(path: str):
     """Returns (Generator module, variables). Supports Orbax dirs and
     reference .pkl snapshots."""
-    import jax
     from stylegan_v_tpu.models import Generator
 
     if path.endswith(".pkl"):
@@ -100,7 +99,6 @@ def main():
     ap.add_argument("--batch-size-num-frames", type=int, default=100)
     args = ap.parse_args()
 
-    import jax
     from stylegan_v_tpu.training.video_io import (
         generate_videos, save_video_frames_as_frames_parallel,
         save_video_frames_as_mp4, videos_as_grids)

@@ -290,6 +290,7 @@ class VideoFramesFolderDataset(_ArchiveMixin, Dataset):
         else:
             raise IOError("Path must be either a directory or point to a zip archive")
 
+        num_before_discard = len(self._video_dir2frames)
         if discard_short_videos:
             need = (load_n_consecutive or 1) * subsample_factor
             self._video_dir2frames = {
@@ -297,6 +298,12 @@ class VideoFramesFolderDataset(_ArchiveMixin, Dataset):
 
         self._video_idx2frames = list(self._video_dir2frames.values())
         if not self._video_idx2frames:
+            if num_before_discard:
+                raise IOError(
+                    f"All {num_before_discard} videos are shorter than the "
+                    f"required {(load_n_consecutive or 1) * subsample_factor} "
+                    f"frames (load_n_consecutive={load_n_consecutive}, "
+                    f"subsample_factor={subsample_factor})")
             raise IOError("No videos found in the specified archive")
 
         raw_shape = ([len(self._video_idx2frames)]

@@ -20,7 +20,6 @@ Weight layout conversions (reference NCHW/OIHW -> ours NHWC/HWIO):
 """
 from __future__ import annotations
 
-import io as _io
 import pickle
 from typing import Any, Dict, Optional
 
@@ -336,8 +335,8 @@ def infer_generator_config(stub: StubModule):
     """Reconstruct a models.GeneratorConfig from the init-args capture that
     persistence embeds in every snapshot (reference persistence.py:103-116 —
     the part of source-embedding worth keeping)."""
-    from ..models.config import (DiscriminatorConfig, GeneratorConfig,
-                                 MotionConfig, SamplingConfig, TimeEncConfig)
+    from ..models.config import (GeneratorConfig, MotionConfig,
+                                 SamplingConfig, TimeEncConfig)
 
     kw = dict(stub.state.get("_init_kwargs") or {})
     args = list(stub.state.get("_init_args") or [])

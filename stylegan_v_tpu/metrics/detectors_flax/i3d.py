@@ -20,7 +20,7 @@ Layout: NDHWC (time = depth axis); BatchNorm uses stored running stats
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

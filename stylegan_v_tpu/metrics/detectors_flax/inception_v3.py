@@ -17,7 +17,7 @@ detector's native resolution).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -2,7 +2,6 @@
 (reference src/metrics/frechet_video_distance.py)."""
 from __future__ import annotations
 
-import numpy as np
 
 from . import metric_utils
 from .frechet_inception_distance import frechet_distance

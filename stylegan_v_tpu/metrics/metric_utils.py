@@ -28,7 +28,6 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
-from ..utils.misc import EasyDict
 
 
 @dataclass
@@ -142,10 +141,32 @@ def _detector_search_dirs(opts: MetricOptions):
     return dirs
 
 
+def _stub_detector(name: str, **detector_kwargs) -> Callable:
+    """Deterministic cheap features (the 'stub' backend): spatially pooled
+    pixel statistics. Enabled via SGV_STUB_DETECTORS=1 — lets the full metric
+    stack (sharding, caching, Frechet/KID/IS math, jsonl reporting) run
+    end-to-end without any detector weight files. NOT comparable to real
+    detector scores."""
+    def features(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float64) / 255.0
+        if x.ndim == 5:                          # video [N, T, H, W, C]
+            return np.concatenate(
+                [x.mean(axis=(1, 2, 3)), x.std(axis=(1, 2, 3)),
+                 np.diff(x.mean(axis=(2, 3, 4)), axis=1)], axis=1)
+        N, H, W, C = x.shape                     # image [N, H, W, C]
+        p = max(H // 4, 1)
+        x = x[:, :H // p * p, :W // p * p]
+        x = x.reshape(N, p, H // p, p, W // p, C).mean(axis=(2, 4))
+        return x.reshape(N, -1)
+    return features
+
+
 def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
     """Returns features_fn(images uint8 [N,H,W,C] or [N,T,H,W,C]) -> [N, D]."""
     if name in _custom_detectors:
         return _custom_detectors[name](**detector_kwargs)
+    if os.environ.get("SGV_STUB_DETECTORS"):
+        return _stub_detector(name, **detector_kwargs)
     fname = DETECTOR_FILES.get(name, name)
     for d in _detector_search_dirs(opts):
         path = os.path.join(d, fname)

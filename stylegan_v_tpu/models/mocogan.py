@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .config import DiscriminatorConfig, SamplingConfig
+from .config import DiscriminatorConfig
 from .discriminator import Discriminator as ImageDiscriminator
 
 

@@ -17,11 +17,9 @@ with the same padding-adjustment arithmetic as the reference
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..utils.misc import parse_padding

@@ -18,7 +18,6 @@ Layout: x is [N, H, W, C] (NHWC, TPU-native; the reference uses NCHW).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax

@@ -8,8 +8,8 @@ Freeze-D, subset/mirror/cond handling.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
 
 from .models.config import (
     DiscriminatorConfig, GeneratorConfig, MotionConfig, SamplingConfig, TimeEncConfig,

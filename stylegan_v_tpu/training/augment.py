@@ -27,9 +27,8 @@ reproduces the reference's deterministic debug mode (erfinv-based) for tests.
 """
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ same-motion-different-content decomposition) mirror the reference.
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Callable, Dict, Optional

@@ -185,3 +185,10 @@ def test_zip_dataset_with_labels(tmp_path):
     assert ds.label_dim == 3
     np.testing.assert_array_equal(ds.get_label(0), [0, 0, 1])
     np.testing.assert_array_equal(ds.get_label(1), [1, 0, 0])
+
+
+def test_short_video_discard_error_is_informative(tmp_path):
+    path = build_video_dataset_dir(str(tmp_path), frames_per_video=8)
+    with pytest.raises(IOError, match="shorter than the required 16"):
+        VideoFramesFolderDataset(path, load_n_consecutive=16,
+                                 discard_short_videos=True)

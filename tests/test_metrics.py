@@ -138,7 +138,11 @@ def test_generator_metric_end_to_end(ds_path):
 def test_registry_and_report(tmp_path):
     assert metric_main.is_valid_metric("fvd2048_16f")
     assert metric_main.is_valid_metric("fid50k_full")
-    assert len(metric_main.list_valid_metrics()) == 9
+    canonical = {"fid50k_full", "kid50k_full", "is50k", "fvd2048_16f",
+                 "fvd2048_128f", "fvd2048_128f_subsample8f", "isv2048_ucf",
+                 "fid50k", "kid50k"}
+    # other test modules may register extra (tiny) metrics in-session
+    assert canonical <= set(metric_main.list_valid_metrics())
     metric_main.report_metric(
         dict(metric="fvd2048_16f", results={"fvd2048_16f": 123.0},
              total_time=1.0, num_runs=1),
