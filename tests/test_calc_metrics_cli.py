@@ -81,3 +81,47 @@ def test_calc_metrics_cli_rejects_unknown_metric(snapshot_dir, tmp_path,
     import calc_metrics
     with pytest.raises(SystemExit, match="unknown metric"):
         calc_metrics.main()
+
+
+def test_calc_metrics_for_dataset_cli(tmp_path, monkeypatch, capsys):
+    """Dataset-vs-dataset mode (generator_as_dataset): identical datasets
+    must give FVD == 0; disjoint ones must give FVD > 0."""
+    real = build_video_dataset_dir(str(tmp_path / "a"), num_videos=6,
+                                   frames_per_video=8, res=32)
+    fake = build_video_dataset_dir(str(tmp_path / "b"), num_videos=6,
+                                   frames_per_video=8, res=32)
+    # make 'fake' genuinely different (inverted pixels), not just re-sampled
+    import PIL.Image
+    import numpy as np
+    for dirpath, _dirs, files in os.walk(fake):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            img = np.asarray(PIL.Image.open(p))
+            PIL.Image.fromarray(255 - img).save(p)
+    monkeypatch.setenv("SGV_STUB_DETECTORS", "1")
+    monkeypatch.setenv("HOME", str(tmp_path))       # isolate the stats cache
+    run_dir = str(tmp_path / "reports")
+
+    @metric_main.register_metric
+    def fvd_ds_tiny(opts):
+        return {"fvd_ds_tiny": fvd_lib.compute_fvd(opts, max_real=6, num_gen=6,
+                                                   num_frames=4)}
+
+    import calc_metrics_for_dataset as cli
+    monkeypatch.setattr(sys, "argv", [
+        "x", "--real-data", real, "--fake-data", real,
+        "--metrics", "fvd_ds_tiny", "--resolution", "32",
+        "--max-num-frames", "8", "--run-dir", run_dir])
+    cli.main()
+    rec = json.loads(open(os.path.join(
+        run_dir, "metric-fvd_ds_tiny.jsonl")).read().splitlines()[-1])
+    assert rec["results"]["fvd_ds_tiny"] == pytest.approx(0.0, abs=1e-8)
+
+    monkeypatch.setattr(sys, "argv", [
+        "x", "--real-data", real, "--fake-data", fake,
+        "--metrics", "fvd_ds_tiny", "--resolution", "32",
+        "--max-num-frames", "8", "--run-dir", run_dir])
+    cli.main()
+    rec = json.loads(open(os.path.join(
+        run_dir, "metric-fvd_ds_tiny.jsonl")).read().splitlines()[-1])
+    assert rec["results"]["fvd_ds_tiny"] > 0
