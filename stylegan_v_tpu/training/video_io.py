@@ -46,10 +46,36 @@ def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "co
     num_chunks = (T + batch_size_num_frames - 1) // batch_size_num_frames
     chunk = (T + num_chunks - 1) // num_chunks
 
+    # Class-conditional truncation: truncate toward the PER-CLASS w mean
+    # estimated from fresh samples, not the global moving w_avg
+    # (reference logging.py:27-32,50-52).
+    class_w_avg = None
+    if (c is not None and cfg.c_dim > 0 and truncation_psi < 1):
+        num_ws_to_average = 1000
+        c_arr = jnp.asarray(c)
+        z_avg = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                  (N * num_ws_to_average, cfg.z_dim))
+        c_avg = jnp.repeat(c_arr, num_ws_to_average, axis=0)
+        w = G.apply(variables, z_avg, c_avg,
+                    method=lambda g, z_, c_: g.mapping(z_, c_))[:, 0]
+        class_w_avg = w.reshape(N, num_ws_to_average, -1).mean(axis=1)  # [N, w]
+
     @jax.jit
     def synth(z1, c1, t1, mz1):
         img = G.apply(variables, z1, c1, t1, motion_z=mz1, noise_mode=noise_mode,
                       truncation_psi=truncation_psi,
+                      rngs={"motion": jax.random.PRNGKey(0),
+                            "noise": jax.random.PRNGKey(1)})
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    @jax.jit
+    def synth_cond_trunc(z1, c1, t1, mz1, w_avg1):
+        ws = G.apply(variables, z1, c1,
+                     method=lambda g, z_, c_: g.mapping(z_, c_))
+        ws = truncation_psi * ws + (1 - truncation_psi) * w_avg1[:, None]
+        img = G.apply(variables, ws, t1, c1, mz1,
+                      method=lambda g, ws_, t_, c_, mz_: g.synthesis(
+                          ws_, t=t_, c=c_, motion_z=mz_, noise_mode=noise_mode),
                       rngs={"motion": jax.random.PRNGKey(0),
                             "noise": jax.random.PRNGKey(1)})
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
@@ -63,7 +89,11 @@ def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "co
                 continue
             c1 = None if (c is None or cfg.c_dim == 0) else jnp.asarray(c)[i:i + 1]
             mz1 = None if motion_z is None else jnp.asarray(motion_z)[i:i + 1]
-            out = synth(z[i:i + 1], c1, t_chunk, mz1)
+            if class_w_avg is not None:
+                out = synth_cond_trunc(z[i:i + 1], c1, t_chunk, mz1,
+                                       class_w_avg[i:i + 1])
+            else:
+                out = synth(z[i:i + 1], c1, t_chunk, mz1)
             frames.append(np.asarray(out))
         videos.append(np.concatenate(frames, axis=0))
     return np.stack(videos)                          # [N, T, H, W, C]

@@ -63,3 +63,39 @@ def test_run_batchwise():
     f = lambda a: a * 2
     out = run_batchwise(f, {"a": np.arange(10)}, batch_size=3)
     np.testing.assert_array_equal(out, np.arange(10) * 2)
+
+
+def test_class_conditional_truncation():
+    """psi<1 with c_dim>0 truncates toward the PER-CLASS w mean (reference
+    logging.py:27-32,50-52): at psi=0 the output depends only on (class,
+    motion), not on z."""
+    cfg = small_gen_cfg(c_dim=3)
+    G = Generator(cfg)
+    z0 = jnp.zeros((1, cfg.z_dim))
+    c0 = jnp.eye(3)[:1]
+    t0 = jnp.zeros((1, 2))
+    variables = jax.jit(lambda r, z, c, t: G.init(r, z, c, t, noise_mode="none"))(
+        {"params": jax.random.PRNGKey(0), "motion": jax.random.PRNGKey(1)},
+        z0, c0, t0)
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(2, cfg.z_dim).astype(np.float32)      # two DIFFERENT z
+    c = np.tile(np.eye(3, dtype=np.float32)[1:2], (2, 1))  # same class
+    ts = np.tile(np.arange(3, dtype=np.float32)[None], (2, 1))
+    L = MotionMappingNetwork.required_traj_len(cfg, 2.0)
+    mz = np.tile(rng.randn(1, L, cfg.motion.z_dim).astype(np.float32), (2, 1, 1))
+
+    vids0 = generate_videos(G, variables, z, c, ts, motion_z=mz,
+                            noise_mode="none", truncation_psi=0.0)
+    assert np.isfinite(vids0).all()
+    # psi=0: z must not matter — a different z with the same seed (=> same
+    # per-class w mean estimate) gives identical videos. (Rows within one
+    # call differ by Monte-Carlo error of the mean, as in the reference.)
+    z_other = rng.randn(2, cfg.z_dim).astype(np.float32)
+    vids0b = generate_videos(G, variables, z_other, c, ts, motion_z=mz,
+                             noise_mode="none", truncation_psi=0.0)
+    np.testing.assert_allclose(vids0, vids0b, atol=1e-5)
+
+    vids1 = generate_videos(G, variables, z, c, ts, motion_z=mz,
+                            noise_mode="none", truncation_psi=1.0)
+    assert np.abs(vids1[0] - vids1[1]).max() > 1e-4     # z matters at psi=1
