@@ -53,3 +53,34 @@ def test_train_dry_run_frozen_config_with_override(tiny_data, tmp_path,
     out = capsys.readouterr().out
     assert "Dry run: configuration is valid." in out
     assert "batch_size: 8" in out                  # override beats frozen value
+
+
+def test_batch_launch_print_only(tmp_path, monkeypatch, capsys):
+    """Sweep-file expansion: (datasets x experiments) launch commands with
+    common_args merged under per-experiment overrides."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    sweep = tmp_path / "sweep.yaml"
+    sweep.write_text(
+        "g1:\n"
+        "  common_args:\n"
+        "    training.batch_size: 16\n"
+        "  experiments:\n"
+        "    base: {}\n"
+        "    big:\n"
+        "      training.batch_size: 32\n")
+    monkeypatch.setattr(sys, "argv", [
+        "batch_launch.py", "--sweep-file", str(sweep), "--group", "g1",
+        "--datasets", "ffs,ucf101", "--print-only"])
+    import batch_launch
+    batch_launch.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 4                       # 2 datasets x 2 experiments
+    assert any("dataset=ffs" in l and "training.batch_size=16" in l
+               and "exp_suffix=base" in l for l in lines)
+    assert any("dataset=ucf101" in l and "training.batch_size=32" in l
+               and "exp_suffix=big" in l for l in lines)
+
+    # per-experiment override must BEAT common_args
+    big = [l for l in lines if "exp_suffix=big" in l]
+    assert all("training.batch_size=32" in l
+               and "training.batch_size=16" not in l for l in big)
