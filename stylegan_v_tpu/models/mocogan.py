@@ -112,6 +112,90 @@ class MoCoGANVideoDiscriminator(nn.Module):
         return x.squeeze(-1)                       # [B, out_t, out_h, out_w]
 
 
+def _instance_norm_3d(x: jax.Array) -> jax.Array:
+    """Affine-free InstanceNorm3d: per-sample, per-channel normalization
+    over (T, H, W) (torch nn.InstanceNorm3d defaults: affine=False)."""
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+class SubVideoDiscriminator(nn.Module):
+    """Single-scale 3-D patch discriminator (reference mocogan.py:166-224,
+    pix2pixHD lineage): k=4 s=2 conv ladder with instance norm, a stride-1
+    block, and a 1-channel patch head. Returns the list of intermediate
+    features when get_intermediate_feat (for feature-matching losses),
+    else just the patch logits."""
+    num_input_channels: int
+    ndf: int = 64
+    n_layers: int = 3
+    get_intermediate_feat: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        feats = []
+        nf = self.ndf
+        x = _Conv3d(self.num_input_channels, nf, (4, 4, 4), (2, 2, 2),
+                    (2, 2, 2), name="conv0")(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        feats.append(x)
+        for n in range(1, self.n_layers):
+            nf_prev, nf = nf, min(nf * 2, 512)
+            x = _Conv3d(nf_prev, nf, (4, 4, 4), (2, 2, 2), (2, 2, 2),
+                        name=f"conv{n}")(x)
+            x = jax.nn.leaky_relu(_instance_norm_3d(x), 0.2)
+            feats.append(x)
+        nf_prev, nf = nf, min(nf * 2, 512)
+        x = _Conv3d(nf_prev, nf, (4, 4, 4), (1, 1, 1), (2, 2, 2),
+                    name=f"conv{self.n_layers}")(x)
+        x = jax.nn.leaky_relu(_instance_norm_3d(x), 0.2)
+        feats.append(x)
+        x = _Conv3d(nf, 1, (4, 4, 4), (1, 1, 1), (2, 2, 2),
+                    name="head")(x)
+        feats.append(x)
+        return feats if self.get_intermediate_feat else x
+
+
+class VideoDiscriminator(nn.Module):
+    """Multiscale 3-D patch discriminator (reference mocogan.py:100-162):
+    num_sub_discrs SubVideoDiscriminators applied to progressively
+    avg-pooled videos (coarsest sub-D has the widest ndf). Input NDHWC
+    [B, T, H, W, C]; returns a list (one per scale, finest-pool first) of
+    feature lists (or single logits when not get_intermediate_feat).
+    Kept for parity with the reference, where it is likewise unused by the
+    training path (MoCoGANDiscriminator uses MoCoGANVideoDiscriminator)."""
+    num_input_channels: int
+    ndf: int = 64
+    n_layers: int = 3
+    n_frames_per_sample: int = 16
+    num_sub_discrs: int = 2
+    get_intermediate_feat: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        ndf_max = 64
+        results = []
+        t_stride = 2 if self.n_frames_per_sample > 16 else 1
+        for block_idx in range(self.num_sub_discrs):
+            # the reference indexes sub-Ds coarsest-width-first (scale i gets
+            # ndf * 2^(num-1-i)) and runs them in reverse; net effect: the
+            # UNPOOLED input meets the NARROWEST sub-D
+            i = self.num_sub_discrs - 1 - block_idx
+            sub = SubVideoDiscriminator(
+                num_input_channels=self.num_input_channels,
+                ndf=min(ndf_max, self.ndf * (2 ** (self.num_sub_discrs - 1 - i))),
+                n_layers=self.n_layers,
+                get_intermediate_feat=self.get_intermediate_feat,
+                name=f"scale{i}")
+            results.append(sub(x))
+            if block_idx != self.num_sub_discrs - 1:
+                x = nn.avg_pool(x, (3, 3, 3),
+                                strides=(t_stride, 2, 2),
+                                padding=((1, 1), (1, 1), (1, 1)),
+                                count_include_pad=False)
+        return results
+
+
 class MoCoGANDiscriminator(nn.Module):
     """image D + video D (reference mocogan.py:16-75)."""
     cfg: DiscriminatorConfig

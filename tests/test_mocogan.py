@@ -83,3 +83,28 @@ def test_lstm_motion_strategy():
     assert bool(jnp.isfinite(img).all())
     # LSTM params exist
     assert "rnn" in params["params"]["synthesis"]["motion_encoder"]
+
+
+def test_multiscale_video_discriminator():
+    """Parity-surface check for the (reference-unused) multiscale patch D
+    (reference mocogan.py:100-224)."""
+    from stylegan_v_tpu.models.mocogan import VideoDiscriminator
+    D = VideoDiscriminator(num_input_channels=3, num_sub_discrs=2, n_layers=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 64, 64, 3),
+                    jnp.float32)
+    variables = D.init(jax.random.PRNGKey(0), x)
+    out = D.apply(variables, x)
+    assert len(out) == 2                        # one result per scale
+    for feats in out:
+        assert len(feats) == 3 + 2              # n_layers + stride-1 + head
+        assert feats[-1].shape[-1] == 1         # patch logits
+        for f in feats:
+            assert np.isfinite(np.asarray(f)).all()
+    # coarser scale sees pooled input -> smaller patch map
+    assert out[1][-1].shape[1:4] < out[0][-1].shape[1:4]
+
+    D2 = VideoDiscriminator(num_input_channels=3, num_sub_discrs=2,
+                            get_intermediate_feat=False)
+    v2 = D2.init(jax.random.PRNGKey(1), x)
+    out2 = D2.apply(v2, x)
+    assert len(out2) == 2 and all(o.shape[-1] == 1 for o in out2)
