@@ -17,7 +17,13 @@ from test_data import build_video_dataset_dir
 
 def run_train_cli(monkeypatch, argv):
     monkeypatch.setattr(sys, "argv", ["train.py"] + argv)
-    import train
+    # load OUR train.py by path: other test modules put /root/reference/src
+    # on sys.path, which also has a train.py
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "sgv_train_cli", os.path.join(REPO, "train.py"))
+    train = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train)
     train.main()
 
 
