@@ -107,7 +107,10 @@ def main():
     # ---- joint optimization ----------------------------------------------
     params = {"w": w_opt0, "mz": best_mz}
     grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p["w"], p["mz"])))
-    opt = optax.adam(1.0)  # lr applied manually via schedule scaling
+    # the per-step lr schedule must scale the UPDATE, not the gradient
+    # (Adam's m/sqrt(v) direction is invariant to gradient scaling, matching
+    # torch Adam param_groups lr semantics, reference project.py:131-134)
+    opt = optax.chain(optax.scale_by_adam(), optax.scale(-1.0))
     opt_state = opt.init(params)
 
     for step in range(args.num_steps):
@@ -121,9 +124,9 @@ def main():
         noisy["w"] = params["w"] + w_noise * jax.random.normal(
             jax.random.fold_in(key, step), params["w"].shape)
         l, grads = grad_fn(noisy)
-        updates, opt_state = opt.update(
-            jax.tree_util.tree_map(lambda g: g * lr, grads), opt_state)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(
+            params, jax.tree_util.tree_map(lambda u: lr * u, updates))
         if step % 100 == 0 or step == args.num_steps - 1:
             print(f"step {step:5d}  loss {float(l):.5f}  lr {lr:.4f}")
 

@@ -1,0 +1,55 @@
+"""End-to-end CLI smoke for scripts/project.py (w+/motion-z inversion)."""
+import os
+import re
+import sys
+
+import jax
+import numpy as np
+import PIL.Image
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from stylegan_v_tpu.io import save_snapshot
+from stylegan_v_tpu.models import Discriminator, Generator
+from stylegan_v_tpu.training import OptimizerConfig, TrainingConfig, init_train_state
+
+from test_models import small_disc_cfg, small_gen_cfg
+
+
+def test_project_cli_smoke(tmp_path, monkeypatch, capsys):
+    run_dir = str(tmp_path / "run")
+    G, D = Generator(small_gen_cfg()), Discriminator(small_disc_cfg())
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(),
+                             TrainingConfig(batch_size=4))
+    snap = save_snapshot(run_dir, state, cur_nimg=0,
+                         configs={"G": G.cfg, "D": D.cfg})
+
+    target_dir = tmp_path / "target"
+    target_dir.mkdir()
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    for i in range(4):
+        PIL.Image.fromarray(np.roll(base, i, axis=1)).save(
+            target_dir / f"{i:04d}.png")
+
+    out = str(tmp_path / "proj")
+    monkeypatch.setattr(sys, "argv", [
+        "project.py", "--network", snap, "--target-dir", str(target_dir),
+        "-o", out, "--num-steps", "30", "--num-frames", "4",
+        "--motion-init-trials", "2"])
+    import project
+    project.main()
+
+    assert os.path.exists(os.path.join(out, "projected.mp4"))
+    lat = np.load(os.path.join(out, "projected_latents.npz"))
+    assert lat["w"].shape[1] == G.num_ws
+    assert np.isfinite(lat["w"]).all() and np.isfinite(lat["motion_z"]).all()
+
+    # optimization must make progress: final loss < motion-init-search loss
+    text = capsys.readouterr().out
+    init_l = float(re.search(r"best of \d+ -> ([\d.]+)", text).group(1))
+    steps = re.findall(r"step\s+\d+\s+loss ([\d.]+)", text)
+    assert steps and float(steps[-1]) < init_l
