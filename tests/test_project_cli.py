@@ -53,3 +53,25 @@ def test_project_cli_smoke(tmp_path, monkeypatch, capsys):
     init_l = float(re.search(r"best of \d+ -> ([\d.]+)", text).group(1))
     steps = re.findall(r"step\s+\d+\s+loss ([\d.]+)", text)
     assert steps and float(steps[-1]) < init_l
+
+
+def test_profile_model_cli_smoke(tmp_path, monkeypatch, capsys):
+    """profile_model.py on a snapshot: prints a throughput row per batch."""
+    run_dir = str(tmp_path / "run")
+    G, D = Generator(small_gen_cfg()), Discriminator(small_disc_cfg())
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(),
+                             TrainingConfig(batch_size=4))
+    snap = save_snapshot(run_dir, state, cur_nimg=0,
+                         configs={"G": G.cfg, "D": D.cfg})
+    monkeypatch.setattr(sys, "argv", [
+        "profile_model.py", "--network", snap, "--frames", "2",
+        "--batch-sizes", "1,2", "--iters", "2"])
+    import profile_model
+    profile_model.main()
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines()
+            if l.strip() and l.split()[0] in ("1", "2")]
+    assert len(rows) == 2
+    for r in rows:
+        assert float(r.split()[3]) > 0          # frames/sec positive
