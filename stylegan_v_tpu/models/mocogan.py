@@ -104,11 +104,22 @@ class MoCoGANVideoDiscriminator(nn.Module):
         for i, (ci, co, k, s, p, bn) in enumerate(specs):
             x = noise(x, i)
             x = _Conv3d(ci, co, k, s, p, name=f"conv{i}")(x)
+            assert x.shape[1] > 0, (
+                f"video discriminator conv{i} collapsed the time axis to 0 "
+                f"(input had {videos.shape[1]} frames, num_t_paddings="
+                f"{ntp}). Feed more frames (the reference runs MoCoGAN with "
+                f"16-frame traditional sampling) or raise "
+                f"model.discriminator.video_discr_num_t_paddings.")
             if bn:
                 x = _BatchNorm3d(co, name=f"bn{i}")(x)
             x = jax.nn.leaky_relu(x, 0.2)
         x = _Conv3d(ndf * 8, self.n_output_neurons, (4, 4, 4), (1, 1, 1),
                     (2 if ntp > 5 else 0, 0, 0), name="conv_out")(x)
+        assert x.size > 0, (
+            f"video discriminator produced empty logits {x.shape} "
+            f"(input had {videos.shape[1]} frames, num_t_paddings={ntp}); "
+            f"raise model.discriminator.video_discr_num_t_paddings or feed "
+            f"more frames per video.")
         return x.squeeze(-1)                       # [B, out_t, out_h, out_w]
 
 

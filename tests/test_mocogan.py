@@ -1,6 +1,7 @@
 """MoCoGAN baseline discriminator tests: shapes, video-logit loss path,
 LSTM motion strategy, and per-branch optimizer lr scaling."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -108,3 +109,15 @@ def test_multiscale_video_discriminator():
     v2 = D2.init(jax.random.PRNGKey(1), x)
     out2 = D2.apply(v2, x)
     assert len(out2) == 2 and all(o.shape[-1] == 1 for o in out2)
+
+
+def test_video_discr_rejects_collapsed_time_axis():
+    """3 sparse frames with num_t_paddings=0 collapse T to 0 in the Conv3d
+    ladder -> must be a trace-time error, not silent NaN logits."""
+    D = MoCoGANDiscriminator(small_disc_cfg(**{"img_resolution": 64}),
+                             video_discr_num_t_paddings=0)
+    img = jnp.zeros((4 * 3, 64, 64, 3))
+    t = jnp.tile(jnp.arange(3.0)[None], (4, 1))
+    with pytest.raises(AssertionError, match="time axis|num_t_paddings"):
+        D.init({"params": jax.random.PRNGKey(0),
+                "noise": jax.random.PRNGKey(1)}, img, None, t)
