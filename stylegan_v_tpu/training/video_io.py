@@ -43,7 +43,13 @@ def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "co
         motion_z = jax.random.normal(jax.random.PRNGKey(seed),
                                      (N, L, cfg.motion.z_dim))
 
-    num_chunks = (T + batch_size_num_frames - 1) // batch_size_num_frames
+    # All N videos are synthesized together in each jit call (the reference
+    # loops one video at a time, logging.py:44-65; batch-1 dispatch wastes the
+    # chip). batch_size_num_frames bounds TOTAL frames per call, so the
+    # per-video chunk shrinks as N grows; chunk lengths are balanced to ONE
+    # static size so every call hits the same compiled program.
+    frames_per_video = max(1, batch_size_num_frames // N)
+    num_chunks = (T + frames_per_video - 1) // frames_per_video
     chunk = (T + num_chunks - 1) // num_chunks
 
     # Class-conditional truncation: truncate toward the PER-CLASS w mean
@@ -80,23 +86,25 @@ def generate_videos(G, variables, z, c, ts, motion_z=None, noise_mode: str = "co
                             "noise": jax.random.PRNGKey(1)})
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-    videos = []
-    for i in range(N):
-        frames = []
-        for k in range(num_chunks):
-            t_chunk = ts[i:i + 1, k * chunk:(k + 1) * chunk]
-            if t_chunk.shape[1] == 0:
-                continue
-            c1 = None if (c is None or cfg.c_dim == 0) else jnp.asarray(c)[i:i + 1]
-            mz1 = None if motion_z is None else jnp.asarray(motion_z)[i:i + 1]
-            if class_w_avg is not None:
-                out = synth_cond_trunc(z[i:i + 1], c1, t_chunk, mz1,
-                                       class_w_avg[i:i + 1])
-            else:
-                out = synth(z[i:i + 1], c1, t_chunk, mz1)
-            frames.append(np.asarray(out))
-        videos.append(np.concatenate(frames, axis=0))
-    return np.stack(videos)                          # [N, T, H, W, C]
+    c_all = None if (c is None or cfg.c_dim == 0) else jnp.asarray(c)
+    mz_all = None if motion_z is None else jnp.asarray(motion_z)
+    # Pad timestamps so every chunk has the same static length (one compile);
+    # padded frames are synthesized with the final timestamp and sliced off.
+    pad = num_chunks * chunk - T
+    ts_pad = jnp.concatenate([ts, jnp.repeat(ts[:, -1:], pad, axis=1)], axis=1) \
+        if pad else ts
+
+    chunks = []
+    for k in range(num_chunks):
+        t_chunk = ts_pad[:, k * chunk:(k + 1) * chunk]
+        if class_w_avg is not None:
+            out = synth_cond_trunc(z, c_all, t_chunk, mz_all, class_w_avg)
+        else:
+            out = synth(z, c_all, t_chunk, mz_all)
+        # synth returns [N*chunk, H, W, C] (frames-major per video)
+        chunks.append(np.asarray(out).reshape(N, chunk, *out.shape[1:]))
+    videos = np.concatenate(chunks, axis=1)[:, :T]   # [N, T, H, W, C]
+    return videos
 
 
 def make_grid(images: np.ndarray, nrow: Optional[int] = None,

@@ -44,6 +44,12 @@ def test_chunked_generation_is_coherent():
     assert whole.shape == (N, T, 32, 32, 3)
     np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-4)
 
+    # ragged tail: T=7 over 3 chunks of 3 -> padded final chunk must be
+    # sliced off and still match (all N videos batched per jit call)
+    ragged = generate_videos(G, variables, z, None, ts[:, :7], motion_z=mz,
+                             noise_mode="none", batch_size_num_frames=6)
+    np.testing.assert_allclose(ragged, whole[:, :7], rtol=1e-4, atol=1e-4)
+
 
 def test_grids_and_writers(tmp_path):
     vids = np.random.RandomState(1).rand(4, 3, 16, 16, 3).astype(np.float32)
