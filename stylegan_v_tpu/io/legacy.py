@@ -165,12 +165,40 @@ def _conv1d(w):
     return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
 
 
+def convert_lstm_state(rnn_flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torch nn.LSTM (single layer, unidirectional) -> flax OptimizedLSTMCell.
+
+    torch packs the four gates as row blocks ordered (i, f, g, o) in
+    weight_ih_l0 [4H, In] / weight_hh_l0 [4H, H] and keeps TWO bias vectors
+    that are summed in the cell math (reference motion.py:44-48 relies on
+    stock nn.LSTM). flax keeps per-gate Dense kernels [In, H] named
+    ii/if/ig/io (no bias) and hi/hf/hg/ho (with bias), same gate equations,
+    so: kernel = block.T, bias = bias_ih[block] + bias_hh[block].
+    """
+    w_ih = rnn_flat["weight_ih_l0"]
+    w_hh = rnn_flat["weight_hh_l0"]
+    b_ih = rnn_flat.get("bias_ih_l0")
+    b_hh = rnn_flat.get("bias_hh_l0")
+    H = w_hh.shape[1]
+    cell: Dict[str, Any] = {}
+    for g, gate in enumerate(("i", "f", "g", "o")):
+        blk = slice(g * H, (g + 1) * H)
+        cell["i" + gate] = {"kernel": _linear(w_ih[blk]).astype(np.float32)}
+        hk = {"kernel": _linear(w_hh[blk]).astype(np.float32)}
+        if b_ih is not None:
+            hk["bias"] = (b_ih[blk] + (b_hh[blk] if b_hh is not None else 0)
+                          ).astype(np.float32)
+        cell["h" + gate] = hk
+    return {"OptimizedLSTMCell_0": cell}
+
+
 def convert_generator_state(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """reference G state_dict -> {'params': ..., 'moving': ...} variable tree
     matching models.generator.Generator."""
     params: Dict[str, Any] = {}
     moving: Dict[str, Any] = {}
     buffers: Dict[str, Any] = {}
+    rnn_raw: Dict[str, np.ndarray] = {}
 
     for name, arr in flat.items():
         parts = name.split(".")
@@ -206,9 +234,7 @@ def convert_generator_state(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
                 _set(params, ("synthesis", "motion_encoder", "mapping", sub[2],
                               sub[3]), val.astype(np.float32))
             elif sub[1] == "rnn":
-                # LSTM parameters: left unconverted in round 1 (conv strategy
-                # is the StyleGAN-V default); stored raw for completeness.
-                _set(buffers, ("legacy_rnn", ".".join(sub[2:])), arr)
+                rnn_raw[".".join(sub[2:])] = arr   # converted after the loop
             continue
         if sub[0].startswith("b"):
             block = sub[0]
@@ -238,6 +264,10 @@ def convert_generator_state(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
                 _set(buffers, ("synthesis", block, layer, "noise_const"),
                      arr[:, :, None].astype(np.float32))
             continue
+
+    if rnn_raw:
+        _set(params, ("synthesis", "motion_encoder", "rnn"),
+             convert_lstm_state(rnn_raw))
 
     out = {"params": params}
     if moving:

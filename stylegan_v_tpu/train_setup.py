@@ -209,11 +209,17 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
     # reference batch_gpu semantics: microbatch per accumulation round
     # (train.py:229-235); defaults to whole batch when unset.
     batch_chip = t.get("batch_gpu")
+    # Transfer-learning resume from a pretrained pkl: make ADA react faster
+    # and disable EMA rampup (reference train.py:315-317). Non-pkl resume
+    # paths are full-state orbax resumes and keep their schedules.
+    resume = t.get("resume")
+    transfer_resume = bool(resume) and str(resume).endswith(".pkl")
     train_cfg = TrainingConfig(
         batch_size=int(spec.mb),
         batch_chip=int(batch_chip) if batch_chip else None,
         ema_kimg=float(spec.ema),
-        ema_rampup=spec.ramp,
+        ema_rampup=None if transfer_resume else spec.ramp,
+        ada_kimg=100.0 if transfer_resume else 500.0,
         G_reg_interval=4 if loss_cfg.pl_weight > 0 else None,
         D_reg_interval=16 if loss_cfg.r1_gamma > 0 else None,
         ada_target=ada_target,
@@ -253,7 +259,7 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
         metrics=list(t.get("metrics", [])),
         seed=int(t.get("seed", 0)),
         num_chips=num_chips,
-        resume=t.get("resume"),
+        resume=resume,
         freeze_layers=int(t.get("freezed", 0)),
         num_workers=int(t.get("num_workers", 3)),
         disc_source=disc.get("source", "networks"),

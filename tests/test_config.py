@@ -68,6 +68,25 @@ def test_setup_training_auto_heuristics():
     assert setup.augment_cfg is not None                   # bgc pipe
 
 
+def test_transfer_resume_tweaks():
+    """Resuming from a pretrained pkl makes ADA react faster and disables
+    EMA rampup (reference train.py:315-317); latest/orbax resume does not."""
+    cfg = cfglib.load_config(
+        CONFIG_DIR, ["training.batch_size=null",
+                     "training.resume=/x/network-snapshot-000100.pkl"])
+    setup = setup_training(cfg, dataset_resolution=256, dataset_c_dim=0,
+                           run_dir="/tmp/x")
+    assert setup.train_cfg.ada_kimg == 100.0
+    assert setup.train_cfg.ema_rampup is None
+
+    cfg2 = cfglib.load_config(CONFIG_DIR, ["training.batch_size=null",
+                                           "training.resume=latest"])
+    setup2 = setup_training(cfg2, dataset_resolution=256, dataset_c_dim=0,
+                            run_dir="/tmp/x")
+    assert setup2.train_cfg.ada_kimg == 500.0
+    assert setup2.train_cfg.ema_rampup is not None
+
+
 def test_setup_training_fp32_and_noaug():
     cfg = cfglib.load_config(CONFIG_DIR, ["training.fp32=true",
                                           "training.aug=noaug"])

@@ -146,6 +146,63 @@ def test_motion_encoder_parity(ref_modules):
     np.testing.assert_allclose(my_out, ref_out, atol=2e-4, rtol=1e-3)
 
 
+def test_autoregressive_motion_encoder_import_parity():
+    """LSTM (gen_strategy='autoregressive', MoCoGAN-style) weight import:
+    torch nn.LSTM gate blocks -> flax OptimizedLSTMCell (reference
+    motion.py:44-48, legacy name patterns legacy.py:171-202)."""
+    install()
+    import torch
+    torch.manual_seed(3)
+    from src.training.networks import Generator as RefG
+    cfg = make_ref_cfg(motion={"z_dim": 32, "v_dim": 32, "motion_z_distance": 16,
+                               "gen_strategy": "autoregressive", "kernel_size": 11,
+                               "use_fractional_t": True, "fourier": True})
+    RefG = RefG(c_dim=0, w_dim=64, img_resolution=32, img_channels=3, cfg=cfg,
+                mapping_kwargs={"num_layers": 2},
+                synthesis_kwargs={"channel_base": 1024, "channel_max": 64,
+                                  "num_fp16_res": 0, "conv_clamp": None}).eval()
+
+    gcfg, _ = my_cfgs()
+    from dataclasses import replace
+    gcfg = replace(gcfg, motion=replace(gcfg.motion, gen_strategy="autoregressive"))
+
+    flat = {k: v.numpy() for k, v in RefG.state_dict().items()}
+    variables = convert_generator_state(flat)
+    # LSTM weights must land converted in params, not stashed raw
+    assert "OptimizedLSTMCell_0" in \
+        variables["params"]["synthesis"]["motion_encoder"]["rnn"]
+    assert "legacy_rnn" not in variables.get("buffers", {})
+
+    from stylegan_v_tpu.models.motion import MotionMappingNetwork
+    enc = MotionMappingNetwork(gcfg)
+    enc_vars = {"params": variables["params"]["synthesis"]["motion_encoder"]}
+
+    B = 2
+    rng = np.random.RandomState(4)
+    t = np.array([[0.0, 15.9, 16.1], [40.0, 41.0, 100.0]], np.float32)
+    L = MotionMappingNetwork.required_traj_len(gcfg, float(t.max()))
+    motion_z = rng.randn(B, L, 32).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = RefG.synthesis.motion_encoder(
+            torch.zeros(B, 0), torch.from_numpy(t),
+            motion_z=torch.from_numpy(motion_z))["motion_v"].numpy()
+    my_out = np.asarray(enc.apply(enc_vars, None, jnp.asarray(t),
+                                  motion_z=jnp.asarray(motion_z))["motion_v"])
+    np.testing.assert_allclose(my_out, ref_out, atol=2e-4, rtol=1e-3)
+
+    # full-G output parity through the synthesis ladder
+    z = rng.randn(B, 64).astype(np.float32)
+    with torch.no_grad():
+        want = RefG(torch.from_numpy(z), torch.zeros(B, 0), torch.from_numpy(t),
+                    motion_z=torch.from_numpy(motion_z), noise_mode="none").numpy()
+    myG = Generator(gcfg)
+    got = np.asarray(myG.apply(variables, jnp.asarray(z), None, jnp.asarray(t),
+                               motion_z=jnp.asarray(motion_z), noise_mode="none"))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-2, atol=5e-3)
+
+
 def test_discriminator_logit_parity(ref_modules):
     install()
     import torch
