@@ -43,10 +43,14 @@ def main():
             raise SystemExit(f"unknown metric {metric}; valid: "
                              f"{metric_main.list_valid_metrics()}")
         print(f"Computing {metric}...")
+        # detector/synthesis batches shard over all local devices (flax
+        # detector backends run under jit on the mesh; TorchScript/stub
+        # backends ignore it)
+        from stylegan_v_tpu.parallel import create_mesh
         result = metric_main.calc_metric(
             metric=metric, num_runs=args.num_runs, G=G, G_variables=variables,
             dataset_kwargs=dataset_kwargs, detector_dir=args.detector_dir,
-            verbose=args.verbose)
+            mesh=create_mesh(frame=1), verbose=args.verbose)
         metric_main.report_metric(result, run_dir=run_dir,
                                   snapshot_pkl=os.path.basename(args.network))
         print(f"  {metric}: {dict(result['results'])}  "

@@ -39,12 +39,14 @@ def main():
         if not metric_main.is_valid_metric(metric):
             raise SystemExit(f"unknown metric {metric}")
         print(f"Computing {metric} (dataset vs dataset)...")
+        from stylegan_v_tpu.parallel import create_mesh
         result = metric_main.calc_metric(
             metric=metric,
             dataset_kwargs=dict(path=args.real_data, **common),
             gen_dataset_kwargs=dict(path=args.fake_data, **common),
             generator_as_dataset=True,
-            detector_dir=args.detector_dir)
+            detector_dir=args.detector_dir,
+            mesh=create_mesh(frame=1))
         metric_main.report_metric(result, run_dir=args.run_dir)
         print(f"  {metric}: {dict(result['results'])}")
 

@@ -249,6 +249,7 @@ class VideoFramesFolderDataset(_ArchiveMixin, Dataset):
         self.load_n_consecutive_random_offset = load_n_consecutive_random_offset
         self.subsample_factor = subsample_factor
         self.discard_short_videos = discard_short_videos
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
 
         if subsample_factor > 1 and load_n_consecutive is None:
@@ -346,7 +347,14 @@ class VideoFramesFolderDataset(_ArchiveMixin, Dataset):
             assert avail - span >= 0, (
                 f"Only {avail} frames available, cannot load {self.load_n_consecutive}")
             if self.load_n_consecutive_random_offset:
-                offset = self._rng.randint(0, avail - span + self.subsample_factor)
+                # per-ITEM deterministic offset (seeded by raw index): eval
+                # stats are independent of read order, so replica-striped
+                # extraction merges to exactly the serial result and cached
+                # stats are reproducible (unlike the reference's global-RNG
+                # offsets, dataset.py:398-408).
+                item_rng = np.random.RandomState(
+                    [self._seed, int(self._raw_idx[idx])])
+                offset = item_rng.randint(0, avail - span + self.subsample_factor)
             else:
                 offset = 0
             frames_idx = np.arange(0, span, self.subsample_factor) + offset

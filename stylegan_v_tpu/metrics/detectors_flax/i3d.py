@@ -198,13 +198,13 @@ def convert_i3d_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def i3d_features_fn(variables, batch_size: int = 16):
+def i3d_features_fn(variables, batch_size: int = 16, mesh=None):
     """Build features(videos uint8 [N,T,H,W,C]) -> np [N,1024] running the
-    flax I3D under jit (sharded across available devices by jit)."""
+    flax I3D under jit; with `mesh`, batches are sharded over the 'data'
+    axis (the sharded metric-extraction path, BASELINE north star)."""
     model = InceptionI3d()
 
-    @jax.jit
-    def run(v):
+    def compute(v):
         x = v.astype(jnp.float32) / 127.5 - 1.0
         if x.shape[2] != 224 or x.shape[3] != 224:
             # the FVD detector operates at 224^2 (its `resize` preprocessing)
@@ -212,10 +212,20 @@ def i3d_features_fn(variables, batch_size: int = 16):
             x = jax.image.resize(x, (N, T, 224, 224, x.shape[-1]), "bilinear")
         return model.apply(variables, x)
 
-    def features(videos: np.ndarray) -> np.ndarray:
-        out = []
-        for i in range(0, len(videos), batch_size):
-            out.append(np.asarray(run(jnp.asarray(videos[i:i + batch_size]))))
-        return np.concatenate(out, 0)
+    if mesh is not None:
+        from ...parallel.sharded_eval import sharded_map_batched
 
+        def features(videos: np.ndarray) -> np.ndarray:
+            return sharded_map_batched(compute, videos, mesh, batch_size)
+    else:
+        run = jax.jit(compute)
+
+        def features(videos: np.ndarray) -> np.ndarray:
+            out = []
+            for i in range(0, len(videos), batch_size):
+                out.append(np.asarray(run(jnp.asarray(videos[i:i + batch_size]))))
+            return np.concatenate(out, 0)
+
+    features.jittable = compute     # fused generator->detector programs
+    features.mesh = mesh
     return features

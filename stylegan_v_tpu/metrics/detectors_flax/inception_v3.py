@@ -267,22 +267,32 @@ def convert_inception_state_dict(tensors: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
-def inception_features_fn(variables, batch_size: int = 64):
-    """features(images uint8 [N,H,W,C]) -> np [N,2048] under jit on TPU."""
+def inception_features_fn(variables, batch_size: int = 64, mesh=None):
+    """features(images uint8 [N,H,W,C]) -> np [N,2048] under jit on TPU;
+    with `mesh`, batches are sharded over the 'data' axis."""
     model = InceptionV3()
 
-    @jax.jit
-    def run(v):
+    def compute(v):
         x = v.astype(jnp.float32) / 127.5 - 1.0
         if x.shape[1] != 299 or x.shape[2] != 299:
             x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
                                  "bilinear")
         return model.apply(variables, x)
 
-    def features(images: np.ndarray) -> np.ndarray:
-        out = []
-        for i in range(0, len(images), batch_size):
-            out.append(np.asarray(run(jnp.asarray(images[i:i + batch_size]))))
-        return np.concatenate(out, 0)
+    if mesh is not None:
+        from ...parallel.sharded_eval import sharded_map_batched
 
+        def features(images: np.ndarray) -> np.ndarray:
+            return sharded_map_batched(compute, images, mesh, batch_size)
+    else:
+        run = jax.jit(compute)
+
+        def features(images: np.ndarray) -> np.ndarray:
+            out = []
+            for i in range(0, len(images), batch_size):
+                out.append(np.asarray(run(jnp.asarray(images[i:i + batch_size]))))
+            return np.concatenate(out, 0)
+
+    features.jittable = compute
+    features.mesh = mesh
     return features

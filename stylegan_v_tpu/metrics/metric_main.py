@@ -37,9 +37,18 @@ def list_valid_metrics() -> List[str]:
 
 def calc_metric(metric: str, num_runs: int = 1, **kwargs) -> EasyDict:
     """Run a metric (optionally averaged over num_runs; reference
-    metric_main.py:43-66). In a multi-host setup the result computed on
-    process 0 is authoritative; single-program JAX metrics already agree."""
+    metric_main.py:43-66).
+
+    Multi-host: every process participates (feature extraction is sharded
+    across processes and merged inside metric_utils), and the final numbers
+    are broadcast from process 0 so ALL processes return identical results
+    (reference metric_main.py:52-59)."""
     assert is_valid_metric(metric), f"unknown metric {metric}"
+    import jax
+    if jax.process_count() > 1:
+        kwargs.setdefault("num_replicas", jax.process_count())
+        kwargs.setdefault("replica", jax.process_index())
+        kwargs.setdefault("rank", jax.process_index())
     opts = MetricOptions(**kwargs)
 
     start = time.time()
@@ -55,6 +64,17 @@ def calc_metric(metric: str, num_runs: int = 1, **kwargs) -> EasyDict:
         if num_runs > 1:
             import numpy as np
             results[key + "_std"] = float(np.std(vals))
+
+    if jax.process_count() > 1:
+        # post-merge results are already deterministic across processes, but
+        # broadcast from process 0 anyway so numerically identical values are
+        # GUARANTEED (reference metric_main.py:52-59).
+        import numpy as np
+        from jax.experimental import multihost_utils as mh
+        keys = sorted(results.keys())
+        vals = np.asarray([results[k] for k in keys], np.float64).view(np.int32)
+        vals = np.asarray(mh.broadcast_one_to_all(vals)).view(np.float64)
+        results = {k: float(v) for k, v in zip(keys, vals)}
 
     return EasyDict(
         results=EasyDict(results),

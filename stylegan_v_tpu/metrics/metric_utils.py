@@ -41,6 +41,7 @@ class MetricOptions:
     num_replicas: int = 1
     replica: int = 0
     rank: int = 0
+    mesh: Any = None                   # jax Mesh: shard extraction over 'data'
     cache: bool = True
     cache_dir: Optional[str] = None
     detector_dir: Optional[str] = None
@@ -113,6 +114,92 @@ class FeatureStats:
         obj.__dict__.update(s)
         return obj
 
+    # ------------------------- replica merging -------------------------
+    #
+    # The reference interleaves per-rank sample batches through a broadcast
+    # ladder so every rank accumulates ALL items in dataset order
+    # (metric_utils.py:103-113) and truncates at max_items globally. Here each
+    # replica accumulates only its own strided subset (truncated locally with
+    # replica_max_items, which reproduces the global cutoff), and the partial
+    # stats are merged afterwards: moments add; captured features interleave
+    # round-robin, restoring exact dataset order.
+
+    @staticmethod
+    def replica_max_items(total: int, num_replicas: int, replica: int) -> int:
+        """How many strided items replica owns under the global truncation:
+        replica r's i-th item sits at global interleaved position i*R + r,
+        kept iff i*R + r < total."""
+        return len(range(replica, total, num_replicas))
+
+    @staticmethod
+    def merge(stats_list) -> "FeatureStats":
+        """Merge per-replica stats (replica order = list order)."""
+        assert len(stats_list) > 0
+        base = stats_list[0]
+        out = FeatureStats(capture_all=base.capture_all,
+                           capture_mean_cov=base.capture_mean_cov,
+                           max_items=sum(s.num_items for s in stats_list))
+        out.set_num_features(base.num_features)
+        out.num_items = sum(s.num_items for s in stats_list)
+        if base.capture_mean_cov:
+            for s in stats_list:
+                out.raw_mean += s.raw_mean
+                out.raw_cov += s.raw_cov
+        if base.capture_all:
+            feats = [s.get_all() for s in stats_list]
+            order = []
+            for i in range(max(len(f) for f in feats)):
+                for f in feats:                       # round-robin interleave
+                    if i < len(f):
+                        order.append(f[i])
+            out.all_features = [np.stack(order)] if order else []
+        return out
+
+    def merge_across_processes(self) -> "FeatureStats":
+        """Multi-host merge: allgather each process's partial stats and merge
+        them in process order, so EVERY process returns identical full-dataset
+        stats (the reference's interleave + rank-0 broadcast,
+        metric_utils.py:103-113 / metric_main.py:52-59, as one collective)."""
+        import jax
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils as mh
+
+        def gather64(a):
+            """Lossless float64 allgather: jax demotes f64->f32 when x64 is
+            disabled, so transport the raw bytes as int32 words."""
+            words = np.ascontiguousarray(a, np.float64).view(np.int32)
+            out = np.asarray(mh.process_allgather(words))
+            return out.view(np.float64).reshape((-1,) + np.shape(a))
+
+        nf = self.num_features
+        assert nf is not None, "merge_across_processes before any append"
+        counts = np.asarray(mh.process_allgather(
+            np.asarray([self.num_items], np.int32))).reshape(-1)
+        parts = []
+        if self.capture_mean_cov:
+            means = gather64(self.raw_mean)
+            covs = gather64(self.raw_cov)
+        if self.capture_all:
+            local = (self.get_all() if self.num_items else
+                     np.zeros((0, nf), np.float32))
+            n_max = int(counts.max())
+            pad = np.zeros((n_max - local.shape[0], nf), np.float32)
+            gathered = np.asarray(mh.process_allgather(
+                np.concatenate([local, pad], axis=0)))
+        for r in range(len(counts)):
+            s = FeatureStats(capture_all=self.capture_all,
+                             capture_mean_cov=self.capture_mean_cov)
+            s.set_num_features(nf)
+            s.num_items = int(counts[r])
+            if self.capture_mean_cov:
+                s.raw_mean = means[r]
+                s.raw_cov = covs[r]
+            if self.capture_all:
+                s.all_features = [gathered[r][:int(counts[r])]]
+            parts.append(s)
+        return FeatureStats.merge(parts)
+
 
 # ----------------------------- detector registry -----------------------------
 
@@ -184,7 +271,7 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
                                       jnp.zeros((1, 299, 299, 3)))
                 variables = convert_inception_state_dict(
                     {k: v.numpy() for k, v in sd.items()}, template)
-                return inception_features_fn(variables)
+                return inception_features_fn(variables, mesh=opts.mesh)
             if name == "i3d" and os.environ.get("SGV_I3D_FLAX"):
                 # native on-TPU feature extraction: convert the pytorch_i3d
                 # weights into the flax InceptionI3d (architecture+converter
@@ -195,7 +282,14 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
                 sd = torch.jit.load(path).state_dict()
                 variables = convert_i3d_state_dict(
                     {k: v.numpy() for k, v in sd.items()})
-                return i3d_features_fn(variables)
+                return i3d_features_fn(variables, mesh=opts.mesh)
+            if name == "c3d_ucf101" and os.environ.get("SGV_C3D_FLAX"):
+                import torch
+                from .detectors_flax import convert_c3d_state_dict, c3d_features_fn
+                sd = torch.jit.load(path).state_dict()
+                variables = convert_c3d_state_dict(
+                    {k: v.numpy() for k, v in sd.items()})
+                return c3d_features_fn(variables, mesh=opts.mesh)
             return _torchscript_detector(path, name, **detector_kwargs)
     raise FileNotFoundError(
         f"Detector '{name}' ({fname}) not found in {_detector_search_dirs(opts)}. "
@@ -262,6 +356,10 @@ def compute_feature_stats_for_dataset(
     if temporal_detector:
         dataset_kwargs.pop("sampling", None)
 
+    import jax
+    multi_process = (jax.process_count() > 1
+                     and opts.num_replicas == jax.process_count())
+
     cache_file = None
     if opts.cache:
         cache_dir = opts.cache_dir or os.path.join(
@@ -270,7 +368,14 @@ def compute_feature_stats_for_dataset(
                          dict(max_items=max_items, temporal=temporal_detector,
                               image=use_image_dataset))
         cache_file = os.path.join(cache_dir, tag + ".pkl")
-        if os.path.isfile(cache_file):
+        hit = os.path.isfile(cache_file)
+        if multi_process:
+            # all processes must agree on the cache decision (the reference's
+            # rank-0 flag broadcast, metric_utils.py:211-215); shared FS.
+            from jax.experimental import multihost_utils as mh
+            hit = bool(np.asarray(mh.process_allgather(
+                np.asarray([int(hit)], np.int32)))[0, 0])
+        if hit:
             return feature_stats_cls.load(cache_file)
 
     dataset = _make_dataset(dataset_kwargs, use_image_dataset)
@@ -279,7 +384,12 @@ def compute_feature_stats_for_dataset(
     else:
         num_items = len(dataset)
 
-    stats = feature_stats_cls(max_items=num_items, **stats_kwargs)
+    # Each replica accumulates ONLY its strided share, truncated so the
+    # round-robin union is exactly the first num_items in dataset order
+    # (reference metric_utils.py:230 striding + global interleave cutoff).
+    local_items = FeatureStats.replica_max_items(
+        num_items, opts.num_replicas, opts.replica)
+    stats = feature_stats_cls(max_items=local_items, **stats_kwargs)
     detector = get_detector(detector_name, opts, **detector_kwargs)
 
     # round-robin item sharding (reference metric_utils.py:230)
@@ -301,7 +411,12 @@ def compute_feature_stats_for_dataset(
         stats.append(detector(np.stack(batch)))
     dataset.close()
 
-    if cache_file is not None:
+    if multi_process:
+        # merge partial moments/features across hosts; every process returns
+        # identical full-dataset stats (reference metric_utils.py:103-113).
+        stats = stats.merge_across_processes()
+
+    if cache_file is not None and (not multi_process or opts.replica == 0):
         stats.save(cache_file)
     return stats
 
@@ -321,7 +436,15 @@ def compute_feature_stats_for_generator(
     cfg = G.cfg
     dataset = _make_dataset(dict(opts.dataset_kwargs), use_image_dataset=False)
 
-    stats = feature_stats_cls(max_items=max_items, **stats_kwargs)
+    multi_process = (jax.process_count() > 1
+                     and opts.num_replicas == jax.process_count())
+    local_items = max_items
+    if max_items is not None and opts.num_replicas > 1:
+        # each replica synthesizes its strided share of the num_gen quota
+        local_items = FeatureStats.replica_max_items(
+            max_items, opts.num_replicas, opts.replica)
+
+    stats = feature_stats_cls(max_items=local_items, **stats_kwargs)
     detector = get_detector(detector_name, opts, **detector_kwargs)
     rng = np.random.RandomState(seed + opts.replica)
     key = jax.random.PRNGKey(seed * 1000 + opts.replica)
@@ -331,35 +454,59 @@ def compute_feature_stats_for_generator(
     L = (MotionMappingNetwork.required_traj_len(cfg, float(ts_row.max()))
          if cfg.has_motion else 0)
 
-    @jax.jit
-    def synth(z, c, t, mz):
+    mesh = opts.mesh
+    jittable = getattr(detector, "jittable", None)
+    batch_videos = max(1, batch_size // num_video_frames)
+    if mesh is not None:
+        # round the video batch up to the data-axis size so every jit call
+        # shards evenly over the mesh
+        d = int(mesh.shape["data"])
+        batch_videos = max(batch_videos // d, 1) * d
+
+    def synth_body(z, c, t, mz):
         img = G.apply(variables, z, c, t, motion_z=mz, noise_mode=noise_mode,
                       rngs={"motion": jax.random.PRNGKey(0),
                             "noise": jax.random.PRNGKey(1)})
         img = jnp.clip((img * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        if temporal_detector:
+            img = img.reshape(batch_videos, num_video_frames, *img.shape[1:])
         return img
 
-    batch_videos = max(1, batch_size // num_video_frames)
-    step = 0
+    if mesh is not None and jittable is not None:
+        # the BASELINE north star: G synthesis AND detector forward fused in
+        # ONE jitted program, batch sharded over the mesh 'data' axis.
+        @jax.jit
+        def synth_feat(z, c, t, mz):
+            return jittable(synth_body(z, c, t, mz))
+        run = synth_feat
+    else:
+        synth = jax.jit(synth_body)
+
+        def run(z, c, t, mz):
+            return detector(np.asarray(synth(z, c, t, mz)))
+
+    from jax.sharding import NamedSharding, PartitionSpec
+    put = ((lambda x: jax.device_put(x, NamedSharding(mesh, PartitionSpec("data"))))
+           if mesh is not None else (lambda x: x))
+
     while not stats.is_full():
         key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (batch_videos, cfg.z_dim))
+        z = put(jax.random.normal(sub, (batch_videos, cfg.z_dim)))
         if cfg.c_dim > 0:
             c = np.stack([dataset.get_label(rng.randint(len(dataset)))
                           for _ in range(batch_videos)]).astype(np.float32)
-            c_j = jnp.asarray(c)
+            c_j = put(jnp.asarray(c))
         else:
             c_j = None
-        t = jnp.asarray(np.tile(ts_row[None], (batch_videos, 1)))
-        mz = (jax.random.normal(jax.random.fold_in(key, 1),
-                                (batch_videos, L, cfg.motion.z_dim))
+        t = put(jnp.asarray(np.tile(ts_row[None], (batch_videos, 1))))
+        mz = (put(jax.random.normal(jax.random.fold_in(key, 1),
+                                    (batch_videos, L, cfg.motion.z_dim)))
               if cfg.has_motion else None)
-        img = np.asarray(synth(z, c_j, t, mz))      # [B*T, H, W, C] uint8
-        if temporal_detector:
-            img = img.reshape(batch_videos, num_video_frames, *img.shape[1:])
-        stats.append(detector(img))
-        step += 1
+        stats.append(np.asarray(run(z, c_j, t, mz)))
     dataset.close()
+
+    if multi_process:
+        stats = stats.merge_across_processes()
     return stats
 
 

@@ -15,6 +15,33 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def sharded_map_batched(fn, x, mesh: Mesh, batch_size: int,
+                        extra_args: tuple = ()):
+    """Apply a jittable `fn([N, ...]) -> [N, D]` over a host array in
+    data-sharded batches on the mesh (the metric-pipeline extraction path:
+    detector forward runs under jit over the 'data' axis).
+
+    The per-call N is rounded up to a multiple of the data-axis size by
+    repeating the final item; padded rows are sliced off the output.
+    """
+    import numpy as np
+
+    d = mesh.shape["data"]
+    bs = max(batch_size // d, 1) * d
+    sharding = NamedSharding(mesh, P("data"))
+    jfn = jax.jit(fn)
+    out = []
+    for i in range(0, len(x), bs):
+        xb = np.asarray(x[i:i + bs])
+        n = len(xb)
+        pad = (-n) % d
+        if pad:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)], axis=0)
+        y = jfn(jax.device_put(jnp.asarray(xb), sharding), *extra_args)
+        out.append(np.asarray(y)[:n])
+    return np.concatenate(out, axis=0)
+
+
 def sharded_generate_frames(G, variables, z, c, ts, motion_z, mesh: Mesh,
                             noise_mode: str = "const",
                             truncation_psi: float = 1.0) -> jax.Array:
