@@ -1,0 +1,99 @@
+"""Flax port of the C3D-UCF101 Video-IS detector: converter + forward parity
+on random weights against an independent torch reimplementation (the same
+validation pattern as the I3D/InceptionV3 ports; the TorchScript file itself
+is not downloadable in this sandbox — reference
+src/metrics/video_inception_score.py:14-52)."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from stylegan_v_tpu.metrics.detectors_flax.c3d import (
+    C3D, c3d_features_fn, convert_c3d_state_dict)
+
+
+class TorchC3D(tnn.Module):
+    """Standard C3D (Tran et al. 2015), UCF-101 head — the architecture the
+    tgan2 TorchScript port packages."""
+
+    def __init__(self, num_classes=101):
+        super().__init__()
+        self.conv1a = tnn.Conv3d(3, 64, 3, padding=1)
+        self.conv2a = tnn.Conv3d(64, 128, 3, padding=1)
+        self.conv3a = tnn.Conv3d(128, 256, 3, padding=1)
+        self.conv3b = tnn.Conv3d(256, 256, 3, padding=1)
+        self.conv4a = tnn.Conv3d(256, 512, 3, padding=1)
+        self.conv4b = tnn.Conv3d(512, 512, 3, padding=1)
+        self.conv5a = tnn.Conv3d(512, 512, 3, padding=1)
+        self.conv5b = tnn.Conv3d(512, 512, 3, padding=1)
+        self.fc6 = tnn.Linear(8192, 4096)
+        self.fc7 = tnn.Linear(4096, 4096)
+        self.fc8 = tnn.Linear(4096, num_classes)
+
+    def forward(self, x):                      # [N, C, T, H, W]
+        x = tF.max_pool3d(tF.relu(self.conv1a(x)), (1, 2, 2), (1, 2, 2))
+        x = tF.max_pool3d(tF.relu(self.conv2a(x)), 2, 2)
+        x = tF.relu(self.conv3a(x))
+        x = tF.max_pool3d(tF.relu(self.conv3b(x)), 2, 2)
+        x = tF.relu(self.conv4a(x))
+        x = tF.max_pool3d(tF.relu(self.conv4b(x)), 2, 2)
+        x = tF.relu(self.conv5a(x))
+        x = tF.relu(self.conv5b(x))
+        x = tF.max_pool3d(x, 2, 2, padding=(0, 1, 1))
+        x = x.flatten(1)                       # [N, C*T*H*W] (CTHW order)
+        x = tF.relu(self.fc6(x))
+        x = tF.relu(self.fc7(x))
+        return tF.softmax(self.fc8(x), dim=1)
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    ref = TorchC3D().eval()
+    # keep activations in range so softmax parity is meaningful
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.mul_(0.05)
+    variables = convert_c3d_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    return ref, variables
+
+
+def test_c3d_forward_parity_random_weights(models):
+    ref, variables = models
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 16, 112, 112, 3).astype(np.float32) * 4 - 2
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    got = np.asarray(C3D().apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 101)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got.sum(1), 1.0, rtol=1e-5)
+
+
+def test_c3d_converter_handles_torchscript_prefix(models):
+    ref, _ = models
+    sd = {f"model.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    variables = convert_c3d_state_dict(sd)
+    assert variables["params"]["conv1a"]["kernel"].shape == (3, 3, 3, 3, 64)
+    assert variables["params"]["fc8"]["kernel"].shape == (4096, 101)
+
+
+def test_c3d_features_fn_resizes_and_batches(models):
+    _, variables = models
+    rng = np.random.RandomState(1)
+    videos = rng.randint(0, 255, (3, 16, 64, 64, 3)).astype(np.uint8)
+    probs = c3d_features_fn(variables, batch_size=2)(videos)
+    assert probs.shape == (3, 101)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+
+    from stylegan_v_tpu.parallel import create_mesh
+    sharded = c3d_features_fn(variables, batch_size=8,
+                              mesh=create_mesh(frame=1))(videos)
+    np.testing.assert_allclose(sharded, probs, rtol=1e-4, atol=1e-6)
