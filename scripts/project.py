@@ -6,10 +6,13 @@ Mirrored capabilities: w initialization from the mapping average, learning-
 rate ramp up/down schedule, w-noise annealing, motion-z initialization search
 (best-of-N by loss), joint optimization of ws and motion trajectories.
 
-Perceptual loss: the reference uses VGG16-LPIPS downloaded from NVIDIA; with
-no egress, the default here is a multi-scale image loss (pixel + Laplacian
-pyramid); drop a TorchScript `vgg16.pt` into SGV_DETECTOR_DIR to reproduce
-the reference objective exactly (executed via CPU torch).
+Perceptual loss: when the reference's TorchScript `vgg16.pt` (NVIDIA
+stylegan2-ada metrics file) is present in SGV_DETECTOR_DIR / ./detectors /
+--detector-dir, the EXACT reference objective is optimized — LPIPS features
+from the torch module with gradients routed through torch autograd on the
+host (stylegan_v_tpu.metrics.host_bridge), reference project.py:77-88,139.
+Without the file (no egress here), a multi-scale pixel + Laplacian-pyramid
+loss is the documented fallback.
 """
 from __future__ import annotations
 
@@ -20,6 +23,36 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def find_vgg16(detector_dir=None):
+    cands = [detector_dir, os.environ.get("SGV_DETECTOR_DIR"),
+             os.path.join(os.getcwd(), "detectors")]
+    for d in cands:
+        if d and os.path.isfile(os.path.join(d, "vgg16.pt")):
+            return os.path.join(d, "vgg16.pt")
+    return None
+
+
+def make_lpips_features(vgg_path: str, res: int):
+    """Differentiable LPIPS feature fn (JAX [N,H,W,C] in [-1,1] -> [N,D])
+    via the host-torch bridge; preprocessing matches reference
+    project.py:84-87,136-139: scale to [0,255], area-downsample above 256."""
+    import torch
+    from stylegan_v_tpu.metrics.host_bridge import (make_host_feature_fn,
+                                                    probe_out_dim)
+    model = torch.jit.load(vgg_path).eval()
+
+    def torch_fn(x):                          # [N, H, W, C] in [-1, 1]
+        img = x.permute(0, 3, 1, 2)
+        img = (img + 1.0) * (255.0 / 2.0)
+        if img.shape[2] > 256:
+            img = torch.nn.functional.interpolate(img, size=(256, 256),
+                                                  mode="area")
+        return model(img, resize_images=False, return_lpips=True)
+
+    dim = probe_out_dim(torch_fn, h=res, w=res)
+    return make_host_feature_fn(torch_fn, dim)
 
 
 def multiscale_loss(a, b):
@@ -50,6 +83,9 @@ def main():
     ap.add_argument("--lr-rampdown", type=float, default=0.25)
     ap.add_argument("--w-noise-scale", type=float, default=0.05)
     ap.add_argument("--motion-init-trials", type=int, default=8)
+    ap.add_argument("--detector-dir", default=None,
+                    help="directory containing vgg16.pt (LPIPS); falls back "
+                         "to SGV_DETECTOR_DIR / ./detectors")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -92,7 +128,17 @@ def main():
         return G.apply(variables, w_plus, t, method=call,
                        rngs={"motion": jax.random.PRNGKey(0)})
 
-    loss_fn = jax.jit(lambda w, mz: multiscale_loss(synth(w, mz), target))
+    vgg_path = find_vgg16(args.detector_dir)
+    if vgg_path:
+        print(f"Using VGG16-LPIPS perceptual loss ({vgg_path})")
+        lpips = make_lpips_features(vgg_path, res)
+        target_features = jax.lax.stop_gradient(lpips(target))
+        loss_fn = jax.jit(lambda w, mz: jnp.sum(jnp.square(
+            lpips(synth(w, mz)) - target_features)))
+    else:
+        print("vgg16.pt not found: using multi-scale pixel/Laplacian loss "
+              "(see --detector-dir)")
+        loss_fn = jax.jit(lambda w, mz: multiscale_loss(synth(w, mz), target))
 
     # ---- motion-z init search (reference project.py:181-223) -------------
     best_mz, best_l = None, np.inf
