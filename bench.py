@@ -1,8 +1,10 @@
-"""Headline benchmark: frames/sec/chip at 256x256 synthesis (BASELINE.md metric).
+"""Headline benchmark: frames/sec/chip at 256x256 synthesis (BASELINE.md metric),
+plus achieved MFU and ADA-parity training-step throughput.
 
 Mirrors the reference's profile_model.py harness (warmup + timed iters,
 imgs/sec) on the flagship StyleGAN-V generator.  Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+     "mfu": ..., "train_frames_per_sec": ..., "train_vs_v100": ...}
 
 Measurement method: N synthesis batches inside ONE jitted `lax.scan` program
 reduced to a scalar, timed around a synchronous readback. This is required on
@@ -15,17 +17,47 @@ vs_baseline: BASELINE.json target is >=3x a V100 chip; the reference repo
 publishes no V100 numbers (BASELINE.md), so we use V100_REF = 250 frames/sec
 as the estimate for StyleGAN2-sized 256^2 synthesis on one V100.
 vs_baseline = value / (3 * V100_REF); >= 1.0 means the target is met.
+
+mfu: achieved FLOP/s (from the compiled executable's XLA cost analysis over
+the SAME program that is timed) divided by the chip's bf16 peak — makes the
+throughput claim falsifiable from BENCH_r*.json alone (VERDICT r1 item 9).
+
+train_frames_per_sec: full training step (Gmain+Dmain, amortized R1 every 16,
+on-device ADA with the reference-parity anti-aliased warp) at the production
+FFS-256 shape (fmaps=0.5, batch 16 videos x 3 frames). train_vs_v100 compares
+against the reference's ~36 frames/sec/GPU (25000 kimg in ~2 days on 4xV100,
+reference README.md:37). Set SGV_BENCH_TRAIN=0 to skip this section.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 V100_REF_FRAMES_PER_SEC = 250.0
 TARGET_MULTIPLIER = 3.0
+V100_TRAIN_FRAMES_PER_SEC = 36.0
+# bf16 peak per chip: TPU v5e 197 TF/s; fallback for other attachments.
+PEAK_FLOPS = {"TPU v5 lite": 197.3e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 
-def main():
+def _device_peak_flops(dev) -> float:
+    kind = getattr(dev, "device_kind", "")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197.3e12
+
+
+def _compiled_flops(compiled) -> float:
+    """Total FLOPs of one executable invocation from XLA cost analysis."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0))
+
+
+def bench_synthesis():
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -52,20 +84,107 @@ def main():
         return acc
 
     zs = jax.random.normal(key, (n_batches, videos, cfg.z_dim))
-    float(synth_many(params, zs, t))                      # compile + warm
+    compiled = synth_many.lower(params, zs, t).compile()
+    float(compiled(params, zs, t))                        # warm
     zs2 = jax.random.normal(jax.random.fold_in(key, 7), (n_batches, videos, cfg.z_dim))
     start = time.perf_counter()
-    acc = float(synth_many(params, zs2, t))               # sync scalar readback
+    acc = float(compiled(params, zs2, t))                 # sync scalar readback
     elapsed = time.perf_counter() - start
     assert acc > 0 and acc == acc, "non-finite synthesis output"
     frames_per_sec = n_batches * videos * frames / elapsed
 
-    print(json.dumps({
-        "metric": "synthesis_throughput_256",
-        "value": round(frames_per_sec, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(frames_per_sec / (TARGET_MULTIPLIER * V100_REF_FRAMES_PER_SEC), 3),
-    }))
+    mfu = None
+    try:
+        # FLOPs from a SINGLE-batch program: XLA cost analysis counts a
+        # lax.scan (while-loop) body once, not trip_count times, so the
+        # timed scan program would under-report by n_batches.
+        one = jax.jit(lambda p, z, t: jnp.sum(jnp.abs(
+            G.apply(p, z, None, t, noise_mode="none",
+                    rngs={"motion": jax.random.PRNGKey(3)}))))
+        flops = _compiled_flops(one.lower(params, z0, t).compile()) * n_batches
+        if flops > 0:
+            mfu = flops / elapsed / _device_peak_flops(jax.devices()[0])
+    except Exception:
+        pass
+    return frames_per_sec, mfu
+
+
+def bench_train_step():
+    """ADA-parity training step at the production FFS-256 shape."""
+    import dataclasses
+    import numpy as np
+    import jax
+    from stylegan_v_tpu.models import (Discriminator, DiscriminatorConfig,
+                                       Generator, GeneratorConfig)
+    from stylegan_v_tpu.models.config import replace
+    from stylegan_v_tpu.training import (LossConfig, OptimizerConfig,
+                                         TrainingConfig, init_train_state,
+                                         make_train_step)
+    from stylegan_v_tpu.training.augment import (AUGPIPE_SPECS, AugmentConfig,
+                                                 make_augment_pipe)
+
+    res, B, steps, r1_every = 256, 16, 12, 16
+    gcfg = replace(GeneratorConfig(), img_resolution=res, channel_base=16384)
+    dcfg = replace(DiscriminatorConfig(), img_resolution=res, channel_base=16384)
+    G, D = Generator(gcfg), Discriminator(dcfg)
+    F = gcfg.sampling.num_frames_per_video
+
+    tcfg = TrainingConfig(batch_size=B, ada_target=0.6)
+    lcfg = LossConfig(r1_gamma=0.0002 * res ** 2 / B, pl_weight=0.0,
+                      video_consistent_aug=True)
+    aug = make_augment_pipe(dataclasses.replace(
+        AugmentConfig(**AUGPIPE_SPECS["bgc"]), warp_upsample=2))   # parity mode
+
+    state = init_train_state(jax.random.PRNGKey(0), G, D, OptimizerConfig(0.0025),
+                             OptimizerConfig(0.0025), tcfg)
+    step = make_train_step(G, D, lcfg, OptimizerConfig(0.0025),
+                           OptimizerConfig(0.0025), tcfg, augment_fn=aug,
+                           donate=False)
+
+    rng = np.random.RandomState(int(time.time()) % 100000)   # defeat result cache
+    t = np.sort(rng.randint(0, 128, size=(B, F)).astype(np.float32), axis=1)
+    t += np.arange(F)[None] * 0.1
+    batch = {
+        "real_img": rng.randint(0, 255, (B, F, res, res, 3)).astype(np.uint8),
+        "real_c": np.zeros((B, 0), np.float32),
+        "real_t": t,
+        "gen_c": np.zeros((B, 3, 0), np.float32),
+        "gen_t": np.stack([t, t + 1, t + 2], axis=1),
+    }
+
+    state, _ = step(state, batch, jax.random.PRNGKey(1))             # compile
+    state, _ = step(state, batch, jax.random.PRNGKey(2), do_dr1=True)
+    jax.block_until_ready(state.params_G)
+
+    start = time.perf_counter()
+    for i in range(steps):
+        state, _ = step(state, batch, jax.random.PRNGKey(10 + i),
+                        do_dr1=(i % r1_every == 0))
+    jax.block_until_ready(state.params_G)
+    elapsed = time.perf_counter() - start
+    return steps * B * F / elapsed
+
+
+def main():
+    out = {}
+    frames_per_sec, mfu = bench_synthesis()
+    out["metric"] = "synthesis_throughput_256"
+    out["value"] = round(frames_per_sec, 2)
+    out["unit"] = "frames/sec/chip"
+    out["vs_baseline"] = round(
+        frames_per_sec / (TARGET_MULTIPLIER * V100_REF_FRAMES_PER_SEC), 3)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+
+    if os.environ.get("SGV_BENCH_TRAIN", "1") != "0":
+        try:
+            train_fps = bench_train_step()
+            out["train_frames_per_sec"] = round(train_fps, 2)
+            out["train_vs_v100"] = round(train_fps / V100_TRAIN_FRAMES_PER_SEC, 3)
+        except Exception as e:                       # never break the contract line
+            out["train_error"] = repr(e)[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -216,8 +216,10 @@ class Discriminator(nn.Module):
             f"frame count mismatch: {img.shape} vs {t.shape}"
 
         if self.has_time_encoder:
-            t_embs = TemporalDifferenceEncoder(cfg.sampling, name="time_encoder")(
-                t.reshape(-1, nf))
+            with jax.named_scope("time_encoder"):
+                t_embs = TemporalDifferenceEncoder(cfg.sampling,
+                                                   name="time_encoder")(
+                    t.reshape(-1, nf))
             c = (jnp.concatenate([c, t_embs], axis=1) if c is not None and cfg.c_dim > 0
                  else t_embs)
             if cfg.dummy_c:
@@ -250,7 +252,8 @@ class Discriminator(nn.Module):
                                        use_bf16=(res >= bf16_resolution),
                                        freeze_layers=cfg.freeze_layers,
                                        name=f"b{res}", **common)
-            x, img = block(x, img, force_fp32=force_fp32)
+            with jax.named_scope(f"block_{res}"):
+                x, img = block(x, img, force_fp32=force_fp32)
             cur_layer_idx += block.num_layers
 
         cmap = None
@@ -259,10 +262,13 @@ class Discriminator(nn.Module):
             cmap = MappingNetwork(z_dim=0, c_dim=total_c_dim, w_dim=self.cmap_dim_eff,
                                   num_ws=None, num_layers=cfg.mapping_layers,
                                   w_avg_beta=None, name="mapping")(None, c)
-        x = DiscriminatorEpilogue(chans[4], cmap_dim=self.cmap_dim_eff, resolution=4,
-                                  img_channels=cfg.img_channels,
-                                  architecture=cfg.architecture,
-                                  mbstd_group_size=cfg.mbstd_group_size,
-                                  mbstd_num_channels=cfg.mbstd_num_channels,
-                                  conv_clamp=cfg.conv_clamp, name="b4")(x, img, cmap)
+        with jax.named_scope("epilogue"):
+            x = DiscriminatorEpilogue(chans[4], cmap_dim=self.cmap_dim_eff,
+                                      resolution=4,
+                                      img_channels=cfg.img_channels,
+                                      architecture=cfg.architecture,
+                                      mbstd_group_size=cfg.mbstd_group_size,
+                                      mbstd_num_channels=cfg.mbstd_num_channels,
+                                      conv_clamp=cfg.conv_clamp,
+                                      name="b4")(x, img, cmap)
         return {"image_logits": x.squeeze(1)}

@@ -255,8 +255,9 @@ class SynthesisNetwork(nn.Module):
             motion_v = None
         else:
             if motion_v is None:
-                motion_info = MotionMappingNetwork(cfg, name="motion_encoder")(
-                    c, t, motion_z=motion_z)
+                with jax.named_scope("motion_encoder"):
+                    motion_info = MotionMappingNetwork(cfg, name="motion_encoder")(
+                        c, t, motion_z=motion_z)
                 motion_v = motion_info["motion_v"]     # [B*F, motion_v_dim]
             if cfg.time_enc.cond_type == "concat_w":
                 mv = jnp.repeat(motion_v[:, None, :], self.num_ws, axis=1)
@@ -289,8 +290,9 @@ class SynthesisNetwork(nn.Module):
             # motion_v feeds only the first block under concat_const
             # (reference networks.py:362-363 nulls it for later blocks).
             mv = motion_v if cfg.time_enc.cond_type == "concat_const" else None
-            x, img = block(x, img, block_ws, motion_v=mv, force_fp32=force_fp32,
-                           noise_mode=noise_mode)
+            with jax.named_scope(f"block_{res}"):
+                x, img = block(x, img, block_ws, motion_v=mv,
+                               force_fp32=force_fp32, noise_mode=noise_mode)
             w_idx += block.num_conv
         return img
 
@@ -323,7 +325,10 @@ class Generator(nn.Module):
                  update_w_avg: bool = False, motion_z: Optional[jax.Array] = None,
                  noise_mode: str = "random", force_fp32: bool = False) -> jax.Array:
         assert len(z) == len(t), f"batch mismatch: {z.shape} vs {t.shape}"
-        ws = self.mapping(z, c, truncation_psi=truncation_psi,
-                          truncation_cutoff=truncation_cutoff, update_w_avg=update_w_avg)
-        return self.synthesis(ws, t=t, c=c, motion_z=motion_z,
-                              noise_mode=noise_mode, force_fp32=force_fp32)
+        with jax.named_scope("mapping"):
+            ws = self.mapping(z, c, truncation_psi=truncation_psi,
+                              truncation_cutoff=truncation_cutoff,
+                              update_w_avg=update_w_avg)
+        with jax.named_scope("synthesis"):
+            return self.synthesis(ws, t=t, c=c, motion_z=motion_z,
+                                  noise_mode=noise_mode, force_fp32=force_fp32)

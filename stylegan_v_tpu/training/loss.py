@@ -65,8 +65,9 @@ class GANLoss:
         def call(g, z, c):
             return g.mapping(z, c, update_w_avg=update_w_avg)
 
-        out = self.G.apply(vars_G, z, c, method=call,
-                           mutable=["moving"] if update_w_avg else False)
+        with jax.named_scope("G_mapping"):
+            out = self.G.apply(vars_G, z, c, method=call,
+                               mutable=["moving"] if update_w_avg else False)
         ws, new_moving = out if update_w_avg else (out, None)
 
         if self.cfg.style_mixing_prob > 0:
@@ -85,7 +86,8 @@ class GANLoss:
         def call(g, ws, t, c):
             return g.synthesis(ws, t=t, c=c)
         rngs = {"motion": jax.random.fold_in(rng, 1), "noise": jax.random.fold_in(rng, 2)}
-        return self.G.apply(vars_G, ws, t, c, method=call, rngs=rngs)
+        with jax.named_scope("G_synthesis"):
+            return self.G.apply(vars_G, ws, t, c, method=call, rngs=rngs)
 
     def run_D(self, vars_D, img, c, t, rng, augment_p):
         """Video-consistent ADA + D (reference loss.py:56-72).
@@ -93,20 +95,22 @@ class GANLoss:
         The geometric warp is rematerialized per batch chunk inside the
         augment pipe (see augment.py warp_chunk)."""
         if self.augment_fn is not None:
-            if self.cfg.video_consistent_aug and self.num_frames > 1:
-                nf, h, w, ch = img.shape
-                f = self.num_frames
-                n = nf // f
-                # [B*F,H,W,C] -> [B,H,W,F*C]: all frames share one transform.
-                v = img.reshape(n, f, h, w, ch)
-                v = jnp.moveaxis(v, 1, -2).reshape(n, h, w, f * ch)
-                v = self.augment_fn(rng, v, augment_p)
-                v = v.reshape(n, h, w, f, ch)
-                img = jnp.moveaxis(v, -2, 1).reshape(n * f, h, w, ch)
-            else:
-                img = self.augment_fn(rng, img, augment_p)
-        return self.D.apply(vars_D, img, c, t,
-                            rngs={"noise": jax.random.fold_in(rng, 99)})
+            with jax.named_scope("augment"):
+                if self.cfg.video_consistent_aug and self.num_frames > 1:
+                    nf, h, w, ch = img.shape
+                    f = self.num_frames
+                    n = nf // f
+                    # [B*F,H,W,C] -> [B,H,W,F*C]: all frames share one transform.
+                    v = img.reshape(n, f, h, w, ch)
+                    v = jnp.moveaxis(v, 1, -2).reshape(n, h, w, f * ch)
+                    v = self.augment_fn(rng, v, augment_p)
+                    v = v.reshape(n, h, w, f, ch)
+                    img = jnp.moveaxis(v, -2, 1).reshape(n * f, h, w, ch)
+                else:
+                    img = self.augment_fn(rng, img, augment_p)
+        with jax.named_scope("D_forward"):
+            return self.D.apply(vars_D, img, c, t,
+                                rngs={"noise": jax.random.fold_in(rng, 99)})
 
     # ---------------- phase losses ----------------
 

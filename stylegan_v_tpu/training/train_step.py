@@ -247,12 +247,15 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
 
         gmain_mb = {"z": z0, "c": batch["gen_c"][:, 0], "t": gen_t[:, 0],
                     "idx": jnp.arange(B)}
-        grads_G, s, extra_G = _accum(gmain_fn, state.params_G, gmain_mb, rounds,
-                                     carry0=dict(state.extra_G))
+        with jax.named_scope("Gmain"):
+            grads_G, s, extra_G = _accum(gmain_fn, state.params_G, gmain_mb,
+                                         rounds, carry0=dict(state.extra_G))
         stats.update(s)
-        updates, opt_G_state = opt_g.update(scrub_grads(grads_G, tcfg.grad_clip_value),
-                                            state.opt_G, state.params_G)
-        params_G = optax.apply_updates(state.params_G, updates)
+        with jax.named_scope("Gopt"):
+            updates, opt_G_state = opt_g.update(
+                scrub_grads(grads_G, tcfg.grad_clip_value),
+                state.opt_G, state.params_G)
+            params_G = optax.apply_updates(state.params_G, updates)
 
         # ---- Gpl (lazy, gain = interval) -------------------------------
         pl_mean = state.pl_mean
@@ -269,8 +272,9 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
 
             gpl_mb = {"z": z1, "c": batch["gen_c"][:, 1], "t": gen_t[:, 1],
                       "idx": jnp.arange(B)}
-            grads_G, s, pl_mean = _accum(gpl_fn, params_G, gpl_mb, rounds,
-                                         carry0=pl_mean)
+            with jax.named_scope("Gpl"):
+                grads_G, s, pl_mean = _accum(gpl_fn, params_G, gpl_mb, rounds,
+                                             carry0=pl_mean)
             stats.update(s)
             updates, opt_G_state = opt_g.update(
                 scrub_grads(grads_G, tcfg.grad_clip_value), opt_G_state, params_G)
@@ -298,7 +302,8 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         dmain_mb = {"z": z2, "gc": batch["gen_c"][:, 2], "gt": gen_t[:, 2],
                     "ri": real_img_b, "rc": batch["real_c"], "rt": real_t,
                     "idx": jnp.arange(B)}
-        grads_D, s, _ = _accum(dmain_fn, state.params_D, dmain_mb, rounds)
+        with jax.named_scope("Dmain"):
+            grads_D, s, _ = _accum(dmain_fn, state.params_D, dmain_mb, rounds)
         stats.update(s)
         updates_d, opt_D_state = opt_d.update(
             scrub_grads(grads_D, tcfg.grad_clip_value), state.opt_D, state.params_D)
@@ -318,20 +323,22 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
 
             dr1_mb = {"ri": real_img_b, "rc": batch["real_c"], "rt": real_t,
                       "idx": jnp.arange(B)}
-            grads_D, s, _ = _accum(dr1_fn, params_D, dr1_mb, rounds)
+            with jax.named_scope("Dr1"):
+                grads_D, s, _ = _accum(dr1_fn, params_D, dr1_mb, rounds)
             stats.update(s)
             updates_d, opt_D_state = opt_d.update(
                 scrub_grads(grads_D, tcfg.grad_clip_value), opt_D_state, params_D)
             params_D = optax.apply_updates(params_D, updates_d)
 
         # ---- G_ema (reference training_loop.py:391-400) -----------------
-        ema_nimg = tcfg.ema_kimg * 1000.0
-        if tcfg.ema_rampup is not None:
-            ema_nimg = jnp.minimum(ema_nimg, state.cur_nimg * tcfg.ema_rampup)
-        ema_beta = 0.5 ** (tcfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
-        params_Gema = jax.tree_util.tree_map(
-            lambda p, e: p + (e - p) * ema_beta, params_G, state.params_Gema)
-        extra_Gema = jax.tree_util.tree_map(lambda x: x, extra_G)   # buffer copy
+        with jax.named_scope("Gema"):
+            ema_nimg = tcfg.ema_kimg * 1000.0
+            if tcfg.ema_rampup is not None:
+                ema_nimg = jnp.minimum(ema_nimg, state.cur_nimg * tcfg.ema_rampup)
+            ema_beta = 0.5 ** (tcfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+            params_Gema = jax.tree_util.tree_map(
+                lambda p, e: p + (e - p) * ema_beta, params_G, state.params_Gema)
+            extra_Gema = jax.tree_util.tree_map(lambda x: x, extra_G)  # buffer copy
 
         # ---- ADA controller (reference training_loop.py:406-410) --------
         augment_p = state.augment_p
