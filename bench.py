@@ -151,6 +151,10 @@ def bench_train_step():
         "gen_c": np.zeros((B, 3, 0), np.float32),
         "gen_t": np.stack([t, t + 1, t + 2], axis=1),
     }
+    # stage the batch on-device once: the axon tunnel's host->device copy is
+    # orders slower than a real TPU-VM's DMA and would dominate the step time
+    # (in production the input pipeline overlaps transfer with compute)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     state, _ = step(state, batch, jax.random.PRNGKey(1))             # compile
     state, _ = step(state, batch, jax.random.PRNGKey(2), do_dr1=True)

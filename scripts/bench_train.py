@@ -72,6 +72,9 @@ def main():
         "gen_c": np.zeros((B, 3, 0), np.float32),
         "gen_t": np.stack([t, t + 1, t + 2], axis=1),
     }
+    # stage on-device once: the axon tunnel's host->device copy would
+    # dominate the step time (a real TPU-VM overlaps DMA with compute)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     print("compiling (main + r1 variants)...")
     state, _ = step(state, batch, jax.random.PRNGKey(1))

@@ -1,0 +1,204 @@
+"""Two-pass shear/scale affine warp — the TPU-native fast path for ADA's
+anti-aliased geometric transform (reference augment.py:188-300).
+
+Why: the single-gather bilinear warp is INDEX-COUNT bound on TPU (no texture
+unit; measured 218 ms of a 244 ms AA-warp at the production FFS-256 training
+shape, B=16 C=9 on v5e — see BENCH notes). A classic two-pass resampling
+(Catmull/Smith) factors the affine map into a vertical pass and a horizontal
+pass; each pass decomposes into
+    * a per-line INTEGER shift  -> one contiguous dynamic-slice per line
+      (O(B*(H+W)) gather indices instead of O(B*H*W)),
+    * a dense 2-tap fractional-shift lerp (pure VPU),
+    * a per-sample UNIFORM scale resample -> shared row indices
+      (take_along_axis on [B, L, W*C] rows: O(B*L) indices moving full lines).
+All heavy data movement is contiguous lines, so the pass is bandwidth-, not
+index-, limited.
+
+Math. Output pixel v=(x,y) samples input at M v + t (pixel space). Factor
+    M = [[a, b], [c, d]] = H_x * V_y,
+    V_y: y_in = (c/a)*x_mid + (d - c*b/a)*y_mid + e   (vertical resample)
+    H_x: x_mid = a*x_out + b*y_out + tx               (horizontal resample)
+with e = ty - (c/a)*tx. When |a| < |c| the factorization is ill-conditioned
+(near +-90 deg rotations); those samples are pre-rotated by an EXACT rot90
+blit of the source (transpose+flip, dense) and their matrix is re-derived, so
+every sample is warped with a well-conditioned pair of passes.
+
+Differences vs the single-gather path (documented divergence, same spirit as
+the static-shape notes in training/augment.py): two sequential bilinear
+interpolations instead of one 2-D bilinear tap (slightly smoother; the ADA
+pipeline applies this on the 2x-supersampled canvas where the difference is
+sub-LSB for natural images), and per-sample |shear|/|scale| are clamped to
+the static margins (SHEAR_MAX/SCALE_MAX) — beyond-3-sigma outlier transforms
+saturate instead of wrapping. Boundaries are reflect (mirrored), matching
+ops/grid_sample.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SCALE_MAX = 4.0     # |per-axis scale| clamp (ADA 3-sigma scale*aniso < 2.4)
+SHEAR_MAX = 2.0     # |shear slope| clamp after the rot90 conditioning
+
+
+def _reflect_pad_len(L: int) -> int:
+    return L // 2
+
+
+def _mirror_idx(i: jax.Array, size: int) -> jax.Array:
+    """Mirror integer indices into [0, size) (reflect, no edge repeat)."""
+    period = 2 * size
+    i = jnp.mod(i, period)
+    return jnp.where(i < size, i, period - 1 - i)
+
+
+def _line_pass(x: jax.Array, shift: jax.Array, scale: jax.Array,
+               out_len: int) -> jax.Array:
+    """Resample the SECOND axis of x [B, L, R] (R = folded line payload):
+    out[b, i, :] = x[b, scale[b]*i + shift[b, ?], :] with bilinear taps.
+
+    shift/scale: [B] per-sample scalars (per-line offsets are handled by the
+    caller's integer-shift stage). This is the shared uniform-scale resample:
+    indices depend on (b, i) alone -> O(B*out_len) gather indices, each
+    moving a full [R] row.
+    """
+    B, L, R = x.shape
+    pos = scale[:, None] * jnp.arange(out_len, dtype=jnp.float32)[None, :] \
+        + shift[:, None]                                       # [B, out]
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    f = (pos - i0.astype(jnp.float32))[..., None]
+    i0m = _mirror_idx(i0, L)
+    i1m = _mirror_idx(i0 + 1, L)
+    g0 = jnp.take_along_axis(x, i0m[:, :, None], axis=1)
+    g1 = jnp.take_along_axis(x, i1m[:, :, None], axis=1)
+    return g0 * (1.0 - f) + g1 * f
+
+
+def _integer_shift_lines(x: jax.Array, k: jax.Array, frac: jax.Array,
+                         out_len: int) -> jax.Array:
+    """Fractional per-line shift along the LAST-but-one axis.
+
+    x [B, N, L, C]; k [B, N] integer starts; frac [B, N] in [0,1).
+    Returns [B, N, out_len, C] = x[b, n, k + j (+1)] lerped — one contiguous
+    dynamic-slice per line (O(B*N) gather indices)."""
+    B, N, L, C = x.shape
+    k = jnp.clip(k, 0, L - out_len - 1)
+
+    def slice_one(line, start):                   # [L, C] -> [out_len + 1, C]
+        return jax.lax.dynamic_slice(line, (start, 0), (out_len + 1, C))
+
+    sl = jax.vmap(jax.vmap(slice_one))(x, k)      # [B, N, out_len+1, C]
+    f = frac[:, :, None, None]
+    return sl[:, :, :-1] * (1.0 - f) + sl[:, :, 1:] * f
+
+
+def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
+                             out_h: int, out_w: int) -> jax.Array:
+    """Drop-in for ops.grid_sample.affine_grid_sample(mode='reflect') built
+    from two shear/scale passes. images [B, H, W, C]; G_inv [B, 3, 3] in the
+    normalized align_corners=False convention."""
+    B, H, W, C = images.shape
+    assert G_inv.shape == (B, 3, 3)
+    dtype = images.dtype
+    G = G_inv.astype(jnp.float32)
+
+    # normalized -> pixel-space affine: p_in = M @ p_out + t
+    def pix_row(g0, g1, g2, in_size):
+        # coeffs for: p = A*j + B*i + T  (j = x_out, i = y_out)
+        A = g0 * (in_size / out_w)
+        Bc = g1 * (in_size / out_h)
+        T = (in_size / 2.0) * (g0 * (1.0 / out_w - 1.0)
+                               + g1 * (1.0 / out_h - 1.0) + g2) \
+            + (in_size - 1.0) / 2.0
+        return A, Bc, T
+
+    a, b, tx = pix_row(G[:, 0, 0], G[:, 0, 1], G[:, 0, 2], W)
+    c, d, ty = pix_row(G[:, 1, 0], G[:, 1, 1], G[:, 1, 2], H)
+
+    # ---- conditioning: pre-rot90 samples where |a| < |c| ------------------
+    # rot[y_r, x_r] = img[x_r, W-1-y_r] (swap + flip on the row axis), i.e.
+    # sampling rot at (x_r, y_r) samples img at (x_img, y_img) with
+    #   y_r = (W-1) - x_img,  x_r = y_img.
+    # Substituting x_img = a j + b i + tx, y_img = c j + d i + ty gives the
+    # re-derived coefficients below; the new |a| equals the old |c|, making
+    # the H_x o V_y factorization well-conditioned for every sample.
+    assert H == W, "shear warp expects a square canvas (ADA always is)"
+    use_rot = jnp.abs(a) < jnp.abs(c)                       # [B]
+    rot = jnp.flip(jnp.swapaxes(images, 1, 2), axis=1)      # [B, W, H, C]
+    src = jnp.where(use_rot[:, None, None, None], rot, images)
+    a2 = jnp.where(use_rot, c, a)
+    b2 = jnp.where(use_rot, d, b)
+    t2 = jnp.where(use_rot, ty, tx)
+    c2 = jnp.where(use_rot, -a, c)
+    d2 = jnp.where(use_rot, -b, d)
+    u2 = jnp.where(use_rot, (W - 1.0) - tx, ty)
+    a, b, tx, c, d, ty = a2, b2, t2, c2, d2, u2
+
+    # ---- factor M = H_x o V_y --------------------------------------------
+    sgn_a = jnp.where(a < 0, -1.0, 1.0)
+    a_safe = sgn_a * jnp.maximum(jnp.abs(a), 1e-3)
+    c1 = jnp.clip(c / a_safe, -SHEAR_MAX, SHEAR_MAX)        # vertical shear
+    d1 = jnp.clip(d - c1 * b, -SCALE_MAX, SCALE_MAX)        # vertical scale
+    e = ty - c1 * tx
+    a_h = jnp.clip(a, -SCALE_MAX, SCALE_MAX)                # horizontal scale
+    b_h = jnp.clip(b, -SHEAR_MAX, SHEAR_MAX)                # horizontal shear
+
+    x = src.astype(jnp.float32)
+
+    # Stage order inside each pass: the SHARED-SCALE resample runs FIRST
+    # against the full reflect-padded source (so out-of-range positions
+    # mirror at the true padded edges), then the bounded per-line shear
+    # shift realigns lines. Residual per-line shifts q are expressed in the
+    # post-scale grid: |q| <= |shear| * L / (2 |scale|), clamped to J0.
+    d1 = jnp.where(jnp.abs(d1) < 1.0 / SCALE_MAX,
+                   jnp.where(d1 < 0, -1.0 / SCALE_MAX, 1.0 / SCALE_MAX), d1)
+    a_h = jnp.where(jnp.abs(a_h) < 1.0 / SCALE_MAX,
+                    jnp.where(a_h < 0, -1.0 / SCALE_MAX, 1.0 / SCALE_MAX), a_h)
+
+    # ======================= PASS V (vertical) ============================
+    # p(x, y) = d1*y + s_x,  s_x = c1*x + e (+pad);  s_mid = per-sample mean
+    Mv = _reflect_pad_len(H)
+    xp = jnp.pad(x, ((0, 0), (Mv, Mv), (0, 0), (0, 0)), mode="reflect")
+    Hp = H + 2 * Mv
+    J0 = H // 2
+    Lz = out_h + 2 * J0
+
+    s_mid = e + Mv + c1 * (W - 1.0) / 2.0                       # [B]
+    # stage 1: z[j] = src[d1*(j - J0) + s_mid]   (shared indices, mirrored)
+    zf = _line_pass(xp.reshape(B, Hp, W * C),
+                    shift=s_mid - d1 * J0, scale=d1, out_len=Lz)
+    z = zf.reshape(B, Lz, W, C)
+
+    # stage 2: mid[y, x] = z[y + J0 + q_x, x],  q_x = c1*(x - (W-1)/2)/d1
+    cols = jnp.arange(W, dtype=jnp.float32)[None, :]            # [1, W]
+    q = (c1 / d1)[:, None] * (cols - (W - 1.0) / 2.0)           # [B, W]
+    q = jnp.clip(q, -float(J0), float(J0))
+    pos = q + J0
+    k = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - jnp.floor(pos)
+    zt = jnp.swapaxes(z, 1, 2)                                  # [B, W, Lz, C]
+    mid = _integer_shift_lines(zt, k, frac, out_h)              # [B, W, out_h, C]
+    mid = jnp.swapaxes(mid, 1, 2)                               # [B, out_h, W, C]
+
+    # ======================= PASS H (horizontal) ==========================
+    # p(x_out, y) = a_h*x_out + r_y,  r_y = b_h*y + tx (+pad)
+    Mh = _reflect_pad_len(W)
+    mp = jnp.pad(mid, ((0, 0), (0, 0), (Mh, Mh), (0, 0)), mode="reflect")
+    Wp = W + 2 * Mh
+    J0h = W // 2
+    Lz2 = out_w + 2 * J0h
+
+    r_mid = tx + Mh + b_h * (out_h - 1.0) / 2.0                 # [B]
+    # stage 1 needs x as the indexed axis with shared idx: [B, Wp, out_h*C]
+    mt = jnp.swapaxes(mp, 1, 2).reshape(B, Wp, out_h * C)
+    z2 = _line_pass(mt, shift=r_mid - a_h * J0h, scale=a_h, out_len=Lz2)
+    z2 = jnp.swapaxes(z2.reshape(B, Lz2, out_h, C), 1, 2)       # [B, out_h, Lz2, C]
+
+    rows = jnp.arange(out_h, dtype=jnp.float32)[None, :]        # [1, out_h]
+    q2 = (b_h / a_h)[:, None] * (rows - (out_h - 1.0) / 2.0)    # [B, out_h]
+    q2 = jnp.clip(q2, -float(J0h), float(J0h))
+    pos2 = q2 + J0h
+    k2 = jnp.floor(pos2).astype(jnp.int32)
+    frac2 = pos2 - jnp.floor(pos2)
+    out = _integer_shift_lines(z2, k2, frac2, out_w)            # [B, out_h, out_w, C]
+    return out.astype(dtype)

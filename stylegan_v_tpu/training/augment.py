@@ -94,6 +94,12 @@ class AugmentConfig:
     # mirrored sampling (4x fewer TPU gather indices; slight aliasing under
     # rotation). Throughput-critical training runs may prefer 1.
     warp_upsample: int = 2
+    # warp executor for the AA pipeline: "shear" = two-pass shear/scale
+    # decomposition (per-line slice gathers + dense lerps; the per-pixel
+    # gather is index-count bound on TPU — measured 218 ms of a 244 ms AA
+    # warp at B=16 C=9 256^2 on v5e, vs ~13 ms for the shear path);
+    # "gather" = single bilinear gather (geometry reference).
+    warp_mode: str = "shear"
 
 
 # Augpipe presets (reference train.py:36-50 augpipe_specs).
@@ -195,7 +201,7 @@ def _build_fbank() -> np.ndarray:
     return fbank.astype(np.float32)
 
 
-def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad):
+def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="shear"):
     """The reference's anti-aliased geometric execution: symmetric static pad
     (no origin shift since mx0==mx1, reference augment.py:286), 2x upsample,
     bilinear warp on the (H + Hz_pad*2)*2 canvas (augment.py:294), then
@@ -220,10 +226,18 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad):
         x_c, g_c = args
         x_c = jnp.pad(x_c, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
         x_c = upsample2d(x_c, Hz_geom, up=2)
-        x_c = affine_grid_sample(x_c, g_c, out_h, out_w, mode="reflect")
+        if warp_mode == "shear":
+            from ..ops.shear_warp import shear_affine_grid_sample
+            x_c = shear_affine_grid_sample(x_c, g_c, out_h, out_w)
+        else:
+            x_c = affine_grid_sample(x_c, g_c, out_h, out_w, mode="reflect")
         return downsample2d(x_c, Hz_geom, down=2, padding=-Hz_pad * 2,
                             flip_filter=True)
 
+    # Small chunks keep the shear path fast (76-85 ms at chunk 1-4 vs
+    # 1453 ms unchunked at B=16 C=9 256^2 on v5e — large batches trip a
+    # pathological gather/transpose lowering); chunk=4 compiles much faster
+    # than chunk=1 inside the full train-step graph for ~12% runtime cost.
     chunk = max(1, min(B, 4))
     if B % chunk == 0 and B > chunk:
         xs = images.reshape(B // chunk, chunk, H, W, C)
@@ -326,7 +340,8 @@ def make_augment_pipe(cfg: AugmentConfig):
                       @ scale2d(W / 2 * ones, H / 2 * ones))
                 images = affine_grid_sample(images, Gn, H, W, mode="reflect")
             else:
-                images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad)
+                images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad,
+                                           warp_mode=cfg.warp_mode)
 
         # ---- color transforms --------------------------------------------
         if color_enabled:

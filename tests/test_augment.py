@@ -80,7 +80,7 @@ def test_golden_interior_parity_bgc(dp):
     spec = AUGPIPE_SPECS["bgc"]
     ref = AugmentPipe(**spec)
     ref.p.copy_(torch.ones([]))
-    mine = make_augment_pipe(AugmentConfig(**spec))
+    mine = make_augment_pipe(AugmentConfig(**spec, warp_mode="gather"))
     x = make_x()
     with torch.no_grad():
         yr = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
