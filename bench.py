@@ -156,17 +156,47 @@ def bench_train_step():
     # (in production the input pipeline overlaps transfer with compute)
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
-    state, _ = step(state, batch, jax.random.PRNGKey(1))             # compile
-    state, _ = step(state, batch, jax.random.PRNGKey(2), do_dr1=True)
-    jax.block_until_ready(state.params_G)
+    # K steps inside ONE jitted lax.scan per variant: per-call dispatch via
+    # the tunnel costs seconds/step (a Python step loop measures the tunnel,
+    # ~6 f/s, not the chip); the returned scalar depends on G/D/EMA/ADA state
+    # so no phase is dead-code-eliminated.
+    import jax.numpy as jnp
 
-    start = time.perf_counter()
-    for i in range(steps):
-        state, _ = step(state, batch, jax.random.PRNGKey(10 + i),
-                        do_dr1=(i % r1_every == 0))
-    jax.block_until_ready(state.params_G)
-    elapsed = time.perf_counter() - start
-    return steps * B * F / elapsed
+    def scanned(do_dr1, n):
+        @jax.jit
+        def prog(state, batch, keys):
+            def body(st, k):
+                st, _ = step(st, batch, k, do_dr1=do_dr1)
+                return st, None
+            st, _ = jax.lax.scan(body, state, keys)
+            leaves = (jax.tree_util.tree_leaves(st.params_G)[:2]
+                      + jax.tree_util.tree_leaves(st.params_D)[:2]
+                      + jax.tree_util.tree_leaves(st.params_Gema)[:2])
+            return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in leaves) \
+                + st.augment_p
+
+        seed = int(time.time()) & 0x7FFFFFFF
+        compiled = prog.lower(state, batch,
+                              jax.random.split(jax.random.PRNGKey(0), n)).compile()
+        float(compiled(state, batch,
+                       jax.random.split(jax.random.PRNGKey(seed), n)))  # warm
+        t0 = time.perf_counter()
+        acc = float(compiled(state, batch,
+                             jax.random.split(jax.random.PRNGKey(seed + 1), n)))
+        dt = (time.perf_counter() - t0) / n
+        assert acc == acc, "non-finite training state"
+        # XLA cost analysis counts a lax.scan body ONCE (not trip_count
+        # times), so the program's flops ARE the per-step flops (+epsilon)
+        return dt, _compiled_flops(compiled)
+
+    t_main, fl_main = scanned(False, steps)
+    t_r1, fl_r1 = scanned(True, 2)
+    # amortized step time at the production R1 cadence (every 16)
+    t_step = ((r1_every - 1) * t_main + t_r1) / r1_every
+    flops = ((r1_every - 1) * fl_main + fl_r1) / r1_every
+    mfu = (flops / t_step / _device_peak_flops(jax.devices()[0])
+           if flops > 0 else None)
+    return B * F / t_step, mfu
 
 
 def main():
@@ -182,9 +212,11 @@ def main():
 
     if os.environ.get("SGV_BENCH_TRAIN", "1") != "0":
         try:
-            train_fps = bench_train_step()
+            train_fps, train_mfu = bench_train_step()
             out["train_frames_per_sec"] = round(train_fps, 2)
             out["train_vs_v100"] = round(train_fps / V100_TRAIN_FRAMES_PER_SEC, 3)
+            if train_mfu is not None:
+                out["train_mfu"] = round(train_mfu, 4)
         except Exception as e:                       # never break the contract line
             out["train_error"] = repr(e)[:200]
 

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Per-phase training-step timing on the attached TPU: where do the
+milliseconds go at the production FFS-256 shape?
+
+Times each phase's value_and_grad as its own scan-of-varying-inputs program
+(the axon platform memoizes identical dispatches and adds per-call tunnel
+latency, so each phase runs K iterations inside ONE jitted lax.scan reduced
+to a scalar — see docs/PERF.md for the method):
+
+    Gmain   — G fwd + D fwd + bwd through both (+ ADA warp fwd+bwd if p>0)
+    Dmain   — G fwd (no grad) + D fwd on fake+real + D bwd (+ 2 ADA fwd)
+    Dr1     — grad-of-grad R1 on reals (amortized /16 in the full step)
+    full    — the complete jitted train step (incl. EMA, opts, ADA ctrl)
+
+    python scripts/bench_phases.py [--batch 16] [--resolution 256] [--ada]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--ada", action="store_true",
+                    help="enable the bgc augment pipe at p=0.8 (parity AA mode)")
+    args = ap.parse_args()
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from stylegan_v_tpu.models import (Discriminator, DiscriminatorConfig,
+                                       Generator, GeneratorConfig)
+    from stylegan_v_tpu.models.config import replace
+    from stylegan_v_tpu.training import (LossConfig, OptimizerConfig,
+                                         TrainingConfig, init_train_state,
+                                         make_train_step)
+    from stylegan_v_tpu.training.augment import (AUGPIPE_SPECS, AugmentConfig,
+                                                 make_augment_pipe)
+    from stylegan_v_tpu.training.loss import GANLoss
+
+    res, B, K = args.resolution, args.batch, args.iters
+    gcfg = replace(GeneratorConfig(), img_resolution=res, channel_base=16384)
+    dcfg = replace(DiscriminatorConfig(), img_resolution=res, channel_base=16384)
+    G, D = Generator(gcfg), Discriminator(dcfg)
+    F = gcfg.sampling.num_frames_per_video
+    tcfg = TrainingConfig(batch_size=B, ada_target=0.6 if args.ada else None)
+    lcfg = LossConfig(r1_gamma=0.0002 * res ** 2 / B, pl_weight=0.0,
+                      video_consistent_aug=True)
+    aug = (make_augment_pipe(AugmentConfig(**AUGPIPE_SPECS["bgc"]))
+           if args.ada else None)
+    p = 0.8 if args.ada else 0.0
+
+    state = init_train_state(jax.random.PRNGKey(0), G, D, OptimizerConfig(0.0025),
+                             OptimizerConfig(0.0025), tcfg, augment_p=p)
+    loss = GANLoss(G, D, lcfg, augment_fn=aug)
+
+    rng = np.random.RandomState(int(time.time()) % 100000)
+    t = np.sort(rng.randint(0, 128, size=(B, F)).astype(np.float32), axis=1)
+    t += np.arange(F)[None] * 0.1
+    t = jax.device_put(jnp.asarray(t))
+    real = jax.device_put(jnp.asarray(
+        rng.rand(B * F, res, res, 3).astype(np.float32) * 2 - 1))
+    vars_D = {"params": state.params_D}
+    vars_G = {"params": state.params_G, **state.extra_G}
+    pj = jnp.asarray(p, jnp.float32)
+
+    def leafsum(tree):
+        return sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(tree)[:4])
+
+    # operands are threaded as jit ARGUMENTS (closure capture would embed
+    # params/images as XLA constants and constant-fold the model away)
+    ops = {"pg": state.params_G, "eg": dict(state.extra_G),
+           "pd": state.params_D, "real": real, "t": t}
+
+    def timed(name, body):
+        """body(key, ops) -> scalar; K iterations in one scan program."""
+        @jax.jit
+        def prog(keys, ops):
+            def step(acc, k):
+                return acc + body(k, ops), None
+            acc, _ = jax.lax.scan(step, 0.0, keys)
+            return acc
+
+        seed = int(time.time()) & 0x7FFFFFFF
+        keys = jax.random.split(jax.random.PRNGKey(seed), K)
+        float(prog(keys, ops))                              # compile+warm
+        keys2 = jax.random.split(jax.random.PRNGKey(seed + 1), K)
+        t0 = time.perf_counter()
+        acc = float(prog(keys2, ops))
+        dt = (time.perf_counter() - t0) / K * 1e3
+        assert np.isfinite(acc)
+        print(f"{name:28s} {dt:8.1f} ms/iter", flush=True)
+        return dt
+
+    def gmain_body(k, o):
+        z = jax.random.normal(jax.random.fold_in(k, 0), (B, gcfg.z_dim))
+        def f(pg):
+            l, _ = loss.gmain(pg, o["eg"], {"params": o["pd"]}, z, None,
+                              o["t"], k, pj)
+            return l
+        return leafsum(jax.grad(f)(o["pg"]))
+
+    def dmain_body(k, o):
+        z = jax.random.normal(jax.random.fold_in(k, 0), (B, gcfg.z_dim))
+        vg = {"params": o["pg"], **o["eg"]}
+        def f(pd):
+            l1, _ = loss.dgen(pd, vg, {}, z, None, o["t"],
+                              jax.random.fold_in(k, 1), pj)
+            l2, _ = loss.dreal_dr1(pd, {}, o["real"], None, o["t"],
+                                   jax.random.fold_in(k, 2),
+                                   pj, do_main=True, do_r1=False,
+                                   r1_gamma=lcfg.r1_gamma)
+            return l1 + l2
+        return leafsum(jax.grad(f)(o["pd"]))
+
+    def dr1_body(k, o):
+        def f(pd):
+            l, _ = loss.dreal_dr1(pd, {}, o["real"], None, o["t"], k, pj,
+                                  do_main=False, do_r1=True,
+                                  r1_gamma=lcfg.r1_gamma)
+            return l
+        return leafsum(jax.grad(f)(o["pd"]))
+
+    def gfwd_body(k, o):
+        z = jax.random.normal(k, (B, gcfg.z_dim))
+        img = G.apply({"params": o["pg"], **o["eg"]}, z, None, o["t"],
+                      noise_mode="random",
+                      rngs={"motion": jax.random.fold_in(k, 1),
+                            "noise": jax.random.fold_in(k, 2)})
+        return jnp.sum(jnp.abs(img).astype(jnp.float32))
+
+    def dfwd_body(k, o):
+        out = D.apply({"params": o["pd"]}, o["real"] + 1e-6 * k[0], None, o["t"])
+        logits = out["image_logits"] if isinstance(out, dict) else out
+        return jnp.sum(jnp.abs(logits).astype(jnp.float32))
+
+    print(f"phase timing @ {res}^2, batch {B}x{F}, ada={'on p=0.8' if args.ada else 'off'}")
+    tg = timed("G fwd (48 frames)", gfwd_body)
+    td = timed("D fwd (48 frames)", dfwd_body)
+    t1 = timed("Gmain grad", gmain_body)
+    t2 = timed("Dmain grad", dmain_body)
+    t3 = timed("Dr1 grad (/16 in full step)", dr1_body)
+
+    # full step for the cross-check
+    step = make_train_step(G, D, lcfg, OptimizerConfig(0.0025),
+                           OptimizerConfig(0.0025), tcfg, augment_fn=aug,
+                           donate=False)
+    batch = {
+        "real_img": jax.device_put(rng.randint(0, 255, (B, F, res, res, 3)).astype(np.uint8)),
+        "real_c": jax.device_put(np.zeros((B, 0), np.float32)),
+        "real_t": t,
+        "gen_c": jax.device_put(np.zeros((B, 3, 0), np.float32)),
+        "gen_t": jax.device_put(jnp.stack([t, t + 1, t + 2], axis=1)),
+    }
+    st, _ = step(state, batch, jax.random.PRNGKey(1))
+    st, _ = step(st, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(st.params_G)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        st, _ = step(st, batch, jax.random.PRNGKey(10 + i))
+    jax.block_until_ready(st.params_G)
+    tf = (time.perf_counter() - t0) / args.iters * 1e3
+    print(f"{'full step (no R1)':28s} {tf:8.1f} ms/iter")
+    print(f"{'sum of Gmain+Dmain':28s} {t1 + t2:8.1f} ms  "
+          f"(residual {tf - t1 - t2:+.1f} ms = EMA+opt+dispatch)")
+
+
+if __name__ == "__main__":
+    main()

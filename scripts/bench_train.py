@@ -76,21 +76,42 @@ def main():
     # dominate the step time (a real TPU-VM overlaps DMA with compute)
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
-    print("compiling (main + r1 variants)...")
-    state, _ = step(state, batch, jax.random.PRNGKey(1))
-    state, _ = step(state, batch, jax.random.PRNGKey(2), do_dr1=True)
-    jax.block_until_ready(state.params_G)
+    # K steps inside ONE jitted lax.scan per variant (per-call dispatch via
+    # the axon tunnel costs seconds/step — a Python step loop measures the
+    # tunnel, not the chip); scalar output depends on G/D/EMA/ADA state so
+    # no phase is dead-code-eliminated.
+    import jax.numpy as jnp
 
-    start = time.perf_counter()
-    for i in range(args.steps):
-        state, stats = step(state, batch, jax.random.PRNGKey(10 + i),
-                            do_dr1=(i % args.r1_every == 0))
-    jax.block_until_ready(state.params_G)
-    elapsed = time.perf_counter() - start
-    fps = args.steps * B * F / elapsed
+    def scanned(do_dr1, n):
+        @jax.jit
+        def prog(state, batch, keys):
+            def body(st, k):
+                st, _ = step(st, batch, k, do_dr1=do_dr1)
+                return st, None
+            st, _ = jax.lax.scan(body, state, keys)
+            leaves = (jax.tree_util.tree_leaves(st.params_G)[:2]
+                      + jax.tree_util.tree_leaves(st.params_D)[:2]
+                      + jax.tree_util.tree_leaves(st.params_Gema)[:2])
+            return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in leaves) \
+                + st.augment_p
+
+        seed = int(time.time()) & 0x7FFFFFFF
+        float(prog(state, batch, jax.random.split(jax.random.PRNGKey(seed), n)))
+        t0 = time.perf_counter()
+        acc = float(prog(state, batch,
+                         jax.random.split(jax.random.PRNGKey(seed + 1), n)))
+        assert acc == acc, "non-finite training state"
+        return (time.perf_counter() - t0) / n
+
+    print("compiling (main + r1 scan variants)...")
+    t_main = scanned(False, args.steps)
+    t_r1 = scanned(True, 2)
+    t_step = ((args.r1_every - 1) * t_main + t_r1) / args.r1_every
+    fps = B * F / t_step
     stats_mem = jax.local_devices()[0].memory_stats() or {}
     print(f"batch {B} videos x {F} frames @ {res}^2: "
-          f"{elapsed / args.steps * 1e3:.0f} ms/step, {fps:.1f} frames/sec/chip "
+          f"main {t_main * 1e3:.0f} ms, +R1 {t_r1 * 1e3:.0f} ms, amortized "
+          f"{t_step * 1e3:.0f} ms/step, {fps:.1f} frames/sec/chip "
           f"(reference ~36 f/s per V100), peak HBM "
           f"{stats_mem.get('peak_bytes_in_use', 0) / 1e9:.1f}G")
 

@@ -94,12 +94,26 @@ class AugmentConfig:
     # mirrored sampling (4x fewer TPU gather indices; slight aliasing under
     # rotation). Throughput-critical training runs may prefer 1.
     warp_upsample: int = 2
-    # warp executor for the AA pipeline: "shear" = two-pass shear/scale
-    # decomposition (per-line slice gathers + dense lerps; the per-pixel
-    # gather is index-count bound on TPU — measured 218 ms of a 244 ms AA
-    # warp at B=16 C=9 256^2 on v5e, vs ~13 ms for the shear path);
-    # "gather" = single bilinear gather (geometry reference).
-    warp_mode: str = "shear"
+    # warp executor for the AA pipeline:
+    #   "auto"   (default) — shear where validated on the TPU backend
+    #            (SHEAR_TPU_VALIDATED_RES allowlist; always shear on CPU),
+    #            gather elsewhere. The shear program kernel-faults on v5e
+    #            at SOME canvas sizes (64^2 reproducibly, with or without
+    #            optimization barriers / chunking) — a Mosaic shape-specific
+    #            miscompile, so unvalidated sizes stay on the gather path.
+    #   "shear"  — force the two-pass shear/scale decomposition (per-line
+    #            slice gathers + dense lerps; the per-pixel gather is
+    #            index-count bound on TPU — 218 ms of a 244 ms AA warp at
+    #            B=16 C=9 256^2 on v5e vs ~13 ms for the shear passes).
+    #   "gather" — force the single bilinear gather (geometry reference).
+    warp_mode: str = "auto"
+    # data-parallel shard count of the batch axis (the training loop sets
+    # this to the mesh's 'data' size). Warp chunking is derived from the
+    # PER-SHARD batch so every scan iteration keeps all devices busy: with
+    # the default 1, a global batch of 16 runs as 4 chunks of 4; on an
+    # 8-way mesh a global batch of 64 runs as 2 chunks of 32 (4 per chip)
+    # instead of 16 device-serializing chunks of 4.
+    data_shards: int = 1
 
 
 # Augpipe presets (reference train.py:36-50 augpipe_specs).
@@ -201,7 +215,17 @@ def _build_fbank() -> np.ndarray:
     return fbank.astype(np.float32)
 
 
-def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="shear"):
+# Image resolutions whose AA-warp canvases are validated fault-free for the
+# shear executor on the v5e TPU backend. The Mosaic miscompile is
+# canvas-size specific: 64^2 kernel-faults reproducibly (chunked or not,
+# with or without optimization barriers) while 32/128/256/512/1024 all pass
+# on-chip (and 256^2 ran the full 62 f/s training soak). Extend only with
+# on-chip evidence; "auto" falls back to gather elsewhere.
+SHEAR_TPU_VALIDATED_RES = frozenset({32, 128, 256, 512, 1024})
+
+
+def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
+                      data_shards=1):
     """The reference's anti-aliased geometric execution: symmetric static pad
     (no origin shift since mx0==mx1, reference augment.py:286), 2x upsample,
     bilinear warp on the (H + Hz_pad*2)*2 canvas (augment.py:294), then
@@ -210,6 +234,10 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="shear"):
     image size at C=3..9, so bounding the chunk keeps peak HBM sane at
     256^2+ training shapes."""
     B, H, W, C = images.shape
+    if warp_mode == "auto":
+        warp_mode = ("shear" if (jax.default_backend() == "cpu"
+                                 or H in SHEAR_TPU_VALIDATED_RES)
+                     else "gather")
     m = Hz_pad * 2
     ones = jnp.ones((B,))
     # account for 2x upsample + half-pixel origin (augment.py:290-291)
@@ -234,14 +262,19 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="shear"):
         return downsample2d(x_c, Hz_geom, down=2, padding=-Hz_pad * 2,
                             flip_filter=True)
 
-    # Small chunks keep the shear path fast (76-85 ms at chunk 1-4 vs
-    # 1453 ms unchunked at B=16 C=9 256^2 on v5e — large batches trip a
-    # pathological gather/transpose lowering); chunk=4 compiles much faster
-    # than chunk=1 inside the full train-step graph for ~12% runtime cost.
-    chunk = max(1, min(B, 4))
-    if B % chunk == 0 and B > chunk:
-        xs = images.reshape(B // chunk, chunk, H, W, C)
-        gs = G_inv.reshape(B // chunk, chunk, 3, 3)
+    # Small PER-SHARD chunks keep the shear path fast (76-85 ms at chunk 1-4
+    # vs 1453 ms unchunked at B=16 C=9 256^2 on v5e — large per-device
+    # batches trip a pathological gather/transpose lowering) and bound peak
+    # HBM; chunk=4 compiles much faster than chunk=1 inside the full
+    # train-step graph for ~12% runtime cost. The chunk COUNT is derived
+    # from the per-shard batch so each lax.map iteration spans all data
+    # shards (no device serialization under a mesh).
+    per_shard = max(1, B // max(1, data_shards))
+    n_chunks = max(1, min(B, (per_shard + 3) // 4))
+    if B % n_chunks == 0 and n_chunks > 1:
+        chunk = B // n_chunks
+        xs = images.reshape(n_chunks, chunk, H, W, C)
+        gs = G_inv.reshape(n_chunks, chunk, 3, 3)
         return jax.lax.map(warp_chunk, (xs, gs)).reshape(B, H, W, C)
     return warp_chunk((images, G_inv))
 
@@ -341,7 +374,8 @@ def make_augment_pipe(cfg: AugmentConfig):
                 images = affine_grid_sample(images, Gn, H, W, mode="reflect")
             else:
                 images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad,
-                                           warp_mode=cfg.warp_mode)
+                                           warp_mode=cfg.warp_mode,
+                                           data_shards=cfg.data_shards)
 
         # ---- color transforms --------------------------------------------
         if color_enabled:

@@ -12,6 +12,7 @@ same-motion-different-content decomposition) mirror the reference.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -131,13 +132,6 @@ def training_loop(setup: TrainSetup,
         elif setup.resume != "latest":
             raise FileNotFoundError(setup.resume)
 
-    # ---- augmentation + train step ---------------------------------------
-    augment_fn = (make_augment_pipe(setup.augment_cfg)
-                  if setup.augment_cfg is not None else None)
-    step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
-                              setup.train_cfg, augment_fn=augment_fn, donate=False,
-                              d_lr_scales=d_lr_scales)
-
     # ---- mesh ------------------------------------------------------------
     # data-parallel width = largest device count dividing the batch
     import math as _math
@@ -146,6 +140,15 @@ def training_loop(setup: TrainSetup,
     mesh = create_mesh(devices=jax.devices()[:dp], frame=1)
     log(f"Device mesh: {dict(mesh.shape)} (of {n_dev} devices)")
     state = jax.device_put(state, replicated_sharding(mesh))
+
+    # ---- augmentation + train step ---------------------------------------
+    # the augment pipe derives its warp chunking from the per-shard batch
+    augment_fn = (make_augment_pipe(dataclasses.replace(
+                      setup.augment_cfg, data_shards=dp))
+                  if setup.augment_cfg is not None else None)
+    step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
+                              setup.train_cfg, augment_fn=augment_fn, donate=False,
+                              d_lr_scales=d_lr_scales)
 
     # ---- visualization state (reference training_loop.py:272-299) --------
     grid_reals, grid_labels = setup_snapshot_image_grid(dataset, setup.seed)

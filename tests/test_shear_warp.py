@@ -90,6 +90,24 @@ def test_shear_warp_differentiable():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_warp_chunking_invariant():
+    """data_shards only changes the lax.map chunking, never the math: the
+    warp output must be identical for any shard count (the training loop
+    sets data_shards to the mesh 'data' size; single-chip default is 1)."""
+    rng = np.random.RandomState(3)
+    B, H, W, C = 8, 32, 32, 3
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    G = rotate2d(jnp.asarray(rng.uniform(-2, 2, B).astype(np.float32)))
+    Hz = setup_filter(_SYM6)
+    base = np.asarray(_warp_antialiased(x, G, Hz, 3, data_shards=1))
+    for shards in (2, 4, 8):
+        got = np.asarray(_warp_antialiased(x, G, Hz, 3, data_shards=shards))
+        # tolerance: XLA compiles different batch groupings with different
+        # fusion/accumulation orders (fp32 conv reductions) — not bit-equal
+        np.testing.assert_allclose(got, base, atol=5e-4, rtol=0,
+                                   err_msg=f"shards={shards}")
+
+
 def test_augment_pipe_shear_mode_runs():
     from stylegan_v_tpu.training.augment import (AUGPIPE_SPECS, AugmentConfig,
                                                  make_augment_pipe)

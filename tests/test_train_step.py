@@ -117,6 +117,33 @@ def test_sharded_step_matches_replicated_math():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sharded_step_with_augment_pipe():
+    """The production ADA path on a mesh: full bgc augment pipe (shear warp
+    executor, shard-aware chunking) inside the sharded train step. Catches
+    device-serializing or resharding regressions in the warp chunking."""
+    import dataclasses
+    from stylegan_v_tpu.training.augment import (AUGPIPE_SPECS, AugmentConfig,
+                                                 make_augment_pipe)
+    G, D = make_models()
+    tcfg = TrainingConfig(batch_size=8, ada_target=0.6)
+    lcfg = LossConfig(r1_gamma=1.0, pl_weight=0.0, video_consistent_aug=True)
+    aug = make_augment_pipe(dataclasses.replace(
+        AugmentConfig(**AUGPIPE_SPECS["bgc"]), data_shards=8))
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(), tcfg,
+                             augment_p=0.5)
+    step = make_train_step(G, D, lcfg, OptimizerConfig(), OptimizerConfig(),
+                           tcfg, augment_fn=aug, donate=False)
+    mesh = create_mesh(frame=1)
+    batch = shard_batch(mesh, make_batch(11, B=8, F=3))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    new_state, stats = step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in stats.values())
+    dg = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.params_G, new_state.params_G)
+    assert max(jax.tree_util.tree_leaves(dg)) > 0
+
+
 def test_gradient_accumulation_rounds():
     """batch_chip < batch_size => microbatch accumulation rounds inside the
     step (the reference's batch_gpu capability)."""
