@@ -71,7 +71,8 @@ def _line_pass(x: jax.Array, shift: jax.Array, scale: jax.Array,
     i1m = _mirror_idx(i0 + 1, L)
     g0 = jnp.take_along_axis(x, i0m[:, :, None], axis=1)
     g1 = jnp.take_along_axis(x, i1m[:, :, None], axis=1)
-    return g0 * (1.0 - f) + g1 * f
+    f = f.astype(x.dtype)          # keep the payload dtype (bf16 fast path)
+    return g0 * (1 - f) + g1 * f
 
 
 def _integer_shift_lines(x: jax.Array, k: jax.Array, frac: jax.Array,
@@ -88,8 +89,8 @@ def _integer_shift_lines(x: jax.Array, k: jax.Array, frac: jax.Array,
         return jax.lax.dynamic_slice(line, (start, 0), (out_len + 1, C))
 
     sl = jax.vmap(jax.vmap(slice_one))(x, k)      # [B, N, out_len+1, C]
-    f = frac[:, :, None, None]
-    return sl[:, :, :-1] * (1.0 - f) + sl[:, :, 1:] * f
+    f = frac[:, :, None, None].astype(x.dtype)    # keep the payload dtype
+    return sl[:, :, :-1] * (1 - f) + sl[:, :, 1:] * f
 
 
 def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
@@ -143,7 +144,8 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     a_h = jnp.clip(a, -SCALE_MAX, SCALE_MAX)                # horizontal scale
     b_h = jnp.clip(b, -SHEAR_MAX, SHEAR_MAX)                # horizontal shear
 
-    x = src.astype(jnp.float32)
+    x = src                    # payload stays in the input dtype (bf16-safe);
+    #                            all index/coefficient math above is fp32
 
     # Stage order inside each pass: the SHARED-SCALE resample runs FIRST
     # against the full reflect-padded source (so out-of-range positions

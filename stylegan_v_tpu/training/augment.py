@@ -107,6 +107,13 @@ class AugmentConfig:
     #            B=16 C=9 256^2 on v5e vs ~13 ms for the shear passes).
     #   "gather" — force the single bilinear gather (geometry reference).
     warp_mode: str = "auto"
+    # geometric-stage payload dtype: "auto" = bfloat16 on TPU (the resample
+    # chain is bandwidth/gather bound and ~halves in bf16; the reference
+    # runs its whole D tower in fp16 at these resolutions so half-precision
+    # augmented inputs are within its numeric envelope), float32 on CPU
+    # (keeps the torch-oracle parity tests exact). Explicit "float32" /
+    # "bfloat16" forces it.
+    geom_dtype: str = "auto"
     # data-parallel shard count of the batch axis (the training loop sets
     # this to the mesh's 'data' size). Warp chunking is derived from the
     # PER-SHARD batch so every scan iteration keeps all devices busy: with
@@ -225,7 +232,7 @@ SHEAR_TPU_VALIDATED_RES = frozenset({32, 128, 256, 512, 1024})
 
 
 def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
-                      data_shards=1):
+                      data_shards=1, geom_dtype="auto"):
     """The reference's anti-aliased geometric execution: symmetric static pad
     (no origin shift since mx0==mx1, reference augment.py:286), 2x upsample,
     bilinear warp on the (H + Hz_pad*2)*2 canvas (augment.py:294), then
@@ -238,6 +245,15 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
         warp_mode = ("shear" if (jax.default_backend() == "cpu"
                                  or H in SHEAR_TPU_VALIDATED_RES)
                      else "gather")
+    # geometric-stage payload dtype: the resample chain is HBM-bandwidth /
+    # gather-index bound on TPU and halves in bf16 (the reference runs its
+    # D tower itself in fp16 at these resolutions, train.py num_fp16_res=4,
+    # so half-precision augmented inputs are within its numeric envelope);
+    # CPU keeps fp32 so the oracle-parity tests stay exact.
+    if geom_dtype == "auto":
+        geom_dtype = ("bfloat16" if jax.default_backend() != "cpu"
+                      else "float32")
+    dt = jnp.dtype(geom_dtype)
     m = Hz_pad * 2
     ones = jnp.ones((B,))
     # account for 2x upsample + half-pixel origin (augment.py:290-291)
@@ -252,15 +268,18 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
     @jax.checkpoint
     def warp_chunk(args):
         x_c, g_c = args
-        x_c = jnp.pad(x_c, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
-        x_c = upsample2d(x_c, Hz_geom, up=2)
+        in_dtype = x_c.dtype
+        x_c = jnp.pad(x_c.astype(dt), ((0, 0), (m, m), (m, m), (0, 0)),
+                      mode="reflect")
+        x_c = upsample2d(x_c, Hz_geom.astype(dt), up=2)
         if warp_mode == "shear":
             from ..ops.shear_warp import shear_affine_grid_sample
             x_c = shear_affine_grid_sample(x_c, g_c, out_h, out_w)
         else:
             x_c = affine_grid_sample(x_c, g_c, out_h, out_w, mode="reflect")
-        return downsample2d(x_c, Hz_geom, down=2, padding=-Hz_pad * 2,
-                            flip_filter=True)
+        x_c = downsample2d(x_c, Hz_geom.astype(dt), down=2,
+                           padding=-Hz_pad * 2, flip_filter=True)
+        return x_c.astype(in_dtype)
 
     # Small PER-SHARD chunks keep the shear path fast (76-85 ms at chunk 1-4
     # vs 1453 ms unchunked at B=16 C=9 256^2 on v5e — large per-device
@@ -371,11 +390,18 @@ def make_augment_pipe(cfg: AugmentConfig):
                 ones = jnp.ones((B,))
                 Gn = (scale2d(2 / W * ones, 2 / H * ones) @ G_inv
                       @ scale2d(W / 2 * ones, H / 2 * ones))
-                images = affine_grid_sample(images, Gn, H, W, mode="reflect")
+                gdt = cfg.geom_dtype
+                if gdt == "auto":
+                    gdt = ("bfloat16" if jax.default_backend() != "cpu"
+                           else "float32")
+                images = affine_grid_sample(
+                    images.astype(jnp.dtype(gdt)), Gn, H, W,
+                    mode="reflect").astype(images.dtype)
             else:
                 images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad,
                                            warp_mode=cfg.warp_mode,
-                                           data_shards=cfg.data_shards)
+                                           data_shards=cfg.data_shards,
+                                           geom_dtype=cfg.geom_dtype)
 
         # ---- color transforms --------------------------------------------
         if color_enabled:

@@ -90,6 +90,29 @@ def test_shear_warp_differentiable():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_bf16_geom_stage_quality():
+    """The TPU fast path runs the geometric stage in bf16 (geom_dtype auto);
+    against the fp32 pipeline it must stay visually transparent (>30 dB
+    PSNR — interpolation noise well under ADA's own stochasticity)."""
+    rng = np.random.RandomState(5)
+    B, H, W, C = 4, 64, 64, 3
+    import scipy.ndimage as ndi
+    img = np.stack([ndi.gaussian_filter(rng.randn(H, W, C), 1.0)
+                    for _ in range(B)]).astype(np.float32)
+    x = jnp.asarray(img)
+    Hz = setup_filter(_SYM6)
+    G = (rotate2d(jnp.asarray([0.3, -0.8, 1.3, 2.4]))
+         @ scale2d(jnp.asarray([0.8, 1.3, 1.0, 0.6]),
+                   jnp.asarray([1.1, 0.7, 1.4, 1.0])))
+    ref = np.asarray(_warp_antialiased(x, G, Hz, 3, geom_dtype="float32"))
+    got = np.asarray(_warp_antialiased(x, G, Hz, 3, geom_dtype="bfloat16"))
+    assert got.dtype == np.float32          # payload dtype restored
+    d = ref - got
+    peak = ref.max() - ref.min()
+    psnr = 10 * np.log10(peak ** 2 / np.mean(d ** 2))
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB"
+
+
 def test_warp_chunking_invariant():
     """data_shards only changes the lax.map chunking, never the math: the
     warp output must be identical for any shard count (the training loop
