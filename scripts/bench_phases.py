@@ -76,8 +76,12 @@ def main():
     pj = jnp.asarray(p, jnp.float32)
 
     def leafsum(tree):
+        # consume EVERY leaf: summing only a few would let XLA dead-code-
+        # eliminate the unconsumed layers' weight-grad convolutions and
+        # undercount the phase (measured ~120 ms/step of DCE'd work at the
+        # production shape); EMA+2xAdam+scrub alone is only ~4.6 ms.
         return sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
-                   for l in jax.tree_util.tree_leaves(tree)[:4])
+                   for l in jax.tree_util.tree_leaves(tree))
 
     # operands are threaded as jit ARGUMENTS (closure capture would embed
     # params/images as XLA constants and constant-fold the model away)

@@ -265,7 +265,6 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
     G_inv = (scale2d(2 / in_w * ones, 2 / in_h * ones) @ G_inv
              @ scale2d(out_w / 2 * ones, out_h / 2 * ones))
 
-    @jax.checkpoint
     def warp_chunk(args):
         x_c, g_c = args
         in_dtype = x_c.dtype
@@ -280,6 +279,15 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
         x_c = downsample2d(x_c, Hz_geom.astype(dt), down=2,
                            padding=-Hz_pad * 2, flip_filter=True)
         return x_c.astype(in_dtype)
+
+    if warp_mode == "gather":
+        # remat: the gather path's saved residuals (per-pixel 4C-packed
+        # neighborhoods + 4.4M scatter indices on the 2x canvas) are ~100x
+        # the image; recompute them in the backward. The shear path's
+        # per-line residuals are small, so it skips remat (measured
+        # speed-neutral at the production shape, but keeps peak HBM bounded
+        # by residency rather than recompute policy).
+        warp_chunk = jax.checkpoint(warp_chunk)
 
     # Small PER-SHARD chunks keep the shear path fast (76-85 ms at chunk 1-4
     # vs 1453 ms unchunked at B=16 C=9 256^2 on v5e — large per-device
