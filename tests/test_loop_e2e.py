@@ -60,6 +60,25 @@ def test_loop_artifacts_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_loop_with_ada_augment(tmp_path):
+    """The production ADA path through the loop: augment_cfg set -> the loop
+    builds the pipe with the mesh's data_shards and the train step runs the
+    full bgc pipeline (auto shear executor). Catches wiring typos in the
+    loop's augment construction that no unit test sees."""
+    import dataclasses
+    from stylegan_v_tpu.training.augment import AUGPIPE_SPECS, AugmentConfig
+    setup = tiny_setup(tmp_path, "run_ada", kimg=0.02)
+    setup = dataclasses.replace(
+        setup, augment_cfg=AugmentConfig(**AUGPIPE_SPECS["bgc"]),
+        augment_p=0.3)
+    result = training_loop(setup, log=lambda *_: None)
+    assert result["cur_nimg"] >= 24
+    rows = [json.loads(l) for l in
+            open(tmp_path / "run_ada" / "stats.jsonl")]
+    assert rows and "Progress/augment_p" in rows[0]
+
+
+@pytest.mark.slow
 def test_loop_transfer_from_reference_pkl(tmp_path):
     """resume=<reference pkl> imports weights before training (transfer
     learning); needs /root/reference to build the pickle."""
