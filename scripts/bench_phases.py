@@ -146,7 +146,10 @@ def main():
         return jnp.sum(jnp.abs(img).astype(jnp.float32))
 
     def dfwd_body(k, o):
-        out = D.apply({"params": o["pd"]}, o["real"] + 1e-6 * k[0], None, o["t"])
+        # tiny key-dependent perturbation: stops XLA hoisting D(real) out of
+        # the scan as loop-invariant while keeping inputs in-distribution
+        eps = jax.random.uniform(k, ()) * 1e-6
+        out = D.apply({"params": o["pd"]}, o["real"] + eps, None, o["t"])
         logits = out["image_logits"] if isinstance(out, dict) else out
         return jnp.sum(jnp.abs(logits).astype(jnp.float32))
 

@@ -118,9 +118,10 @@ def c3d_features_fn(variables, batch_size: int = 16, mesh=None,
 
     if mesh is not None:
         from ...parallel.sharded_eval import sharded_map_batched
+        run = jax.jit(compute)        # one jit cache across all calls
 
         def features(videos: np.ndarray) -> np.ndarray:
-            return sharded_map_batched(compute, videos, mesh, batch_size)
+            return sharded_map_batched(run, videos, mesh, batch_size)
     else:
         run = jax.jit(compute)
 

@@ -281,9 +281,10 @@ def inception_features_fn(variables, batch_size: int = 64, mesh=None):
 
     if mesh is not None:
         from ...parallel.sharded_eval import sharded_map_batched
+        run = jax.jit(compute)        # one jit cache across all calls
 
         def features(images: np.ndarray) -> np.ndarray:
-            return sharded_map_batched(compute, images, mesh, batch_size)
+            return sharded_map_batched(run, images, mesh, batch_size)
     else:
         run = jax.jit(compute)
 

@@ -49,6 +49,20 @@ def calc_metric(metric: str, num_runs: int = 1, **kwargs) -> EasyDict:
         kwargs.setdefault("num_replicas", jax.process_count())
         kwargs.setdefault("replica", jax.process_index())
         kwargs.setdefault("rank", jax.process_index())
+        # Per-process extraction runs on the LOCAL slice of the mesh: each
+        # replica feeds its OWN strided items (replica-seeded z / strided
+        # dataset reads), so a global mesh would device_put per-process-
+        # divergent host batches onto non-addressable devices and fetch
+        # spanning outputs. The cross-process FeatureStats merge recombines
+        # the per-replica partials afterwards.
+        mesh = kwargs.get("mesh")
+        if mesh is not None:
+            local = [d for d in mesh.devices.flat
+                     if d.process_index == jax.process_index()]
+            if len(local) != mesh.devices.size:
+                from ..parallel import create_mesh
+                kwargs["mesh"] = (create_mesh(devices=local, frame=1)
+                                  if local else None)
     opts = MetricOptions(**kwargs)
 
     start = time.time()

@@ -146,13 +146,20 @@ class FeatureStats:
                 out.raw_mean += s.raw_mean
                 out.raw_cov += s.raw_cov
         if base.capture_all:
-            feats = [s.get_all() for s in stats_list]
-            order = []
-            for i in range(max(len(f) for f in feats)):
-                for f in feats:                       # round-robin interleave
-                    if i < len(f):
-                        order.append(f[i])
-            out.all_features = [np.stack(order)] if order else []
+            # round-robin interleave (replica r's item i -> position i*R+r,
+            # skipping exhausted replicas), vectorized: lexsort by (i, r)
+            # instead of a per-row Python loop over tens of thousands of rows
+            nf = base.num_features or 0
+            feats = [s.get_all() if s.num_items else
+                     np.zeros((0, nf), np.float32) for s in stats_list]
+            key_i = np.concatenate([np.arange(len(f)) for f in feats])
+            key_r = np.concatenate([np.full(len(f), r)
+                                    for r, f in enumerate(feats)])
+            if key_i.size:
+                order = np.lexsort((key_r, key_i))
+                out.all_features = [np.concatenate(feats, axis=0)[order]]
+            else:
+                out.all_features = []
         return out
 
     def merge_across_processes(self) -> "FeatureStats":
@@ -172,10 +179,22 @@ class FeatureStats:
             out = np.asarray(mh.process_allgather(words))
             return out.view(np.float64).reshape((-1,) + np.shape(a))
 
-        nf = self.num_features
-        assert nf is not None, "merge_across_processes before any append"
-        counts = np.asarray(mh.process_allgather(
-            np.asarray([self.num_items], np.int32))).reshape(-1)
+        # A rank whose strided share is zero items (dataset smaller than the
+        # process count) has no feature dim yet — learn it from the peers
+        # via an allgather of [num_items, num_features] so every rank keeps
+        # participating in the collectives instead of crashing while the
+        # others hang.
+        meta = np.asarray(mh.process_allgather(np.asarray(
+            [self.num_items, -1 if self.num_features is None
+             else self.num_features], np.int32)))
+        counts = meta[:, 0].reshape(-1)
+        nf = int(meta[:, 1].max())
+        if nf < 0:
+            return self                   # no process appended anything
+        if self.num_features is None:
+            self.set_num_features(nf)
+        assert self.num_features == nf, \
+            f"feature-dim mismatch across processes: {self.num_features} vs {nf}"
         parts = []
         if self.capture_mean_cov:
             means = gather64(self.raw_mean)

@@ -17,27 +17,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def sharded_map_batched(fn, x, mesh: Mesh, batch_size: int,
                         extra_args: tuple = ()):
-    """Apply a jittable `fn([N, ...]) -> [N, D]` over a host array in
-    data-sharded batches on the mesh (the metric-pipeline extraction path:
-    detector forward runs under jit over the 'data' axis).
+    """Apply `fn([N, ...]) -> [N, D]` (jit it at the CALLER — wrapping here
+    would build a fresh jit cache per call) over a host array in data-sharded
+    batches on the mesh (the metric-pipeline extraction path: detector
+    forward runs under jit over the 'data' axis).
 
-    The per-call N is rounded up to a multiple of the data-axis size by
-    repeating the final item; padded rows are sliced off the output.
+    Every batch, including the ragged tail, is padded to ONE static batch
+    size by repeating the final item (a tail padded only to a multiple of
+    the data-axis size would compile a second executable); padded rows are
+    sliced off the output.
     """
     import numpy as np
 
     d = mesh.shape["data"]
     bs = max(batch_size // d, 1) * d
     sharding = NamedSharding(mesh, P("data"))
-    jfn = jax.jit(fn)
     out = []
     for i in range(0, len(x), bs):
         xb = np.asarray(x[i:i + bs])
         n = len(xb)
-        pad = (-n) % d
-        if pad:
-            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)], axis=0)
-        y = jfn(jax.device_put(jnp.asarray(xb), sharding), *extra_args)
+        if n < bs:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - n, axis=0)],
+                                axis=0)
+        y = fn(jax.device_put(jnp.asarray(xb), sharding), *extra_args)
         out.append(np.asarray(y)[:n])
     return np.concatenate(out, axis=0)
 

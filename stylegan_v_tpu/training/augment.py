@@ -231,6 +231,15 @@ def _build_fbank() -> np.ndarray:
 SHEAR_TPU_VALIDATED_RES = frozenset({32, 128, 256, 512, 1024})
 
 
+def _resolve_geom_dtype(geom_dtype: str):
+    """One place for the payload-dtype policy: bf16 on accelerator backends
+    (bandwidth/gather bound resample chain), fp32 on CPU (oracle-exact)."""
+    if geom_dtype == "auto":
+        geom_dtype = ("bfloat16" if jax.default_backend() != "cpu"
+                      else "float32")
+    return jnp.dtype(geom_dtype)
+
+
 def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
                       data_shards=1, geom_dtype="auto"):
     """The reference's anti-aliased geometric execution: symmetric static pad
@@ -245,15 +254,7 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
         warp_mode = ("shear" if (jax.default_backend() == "cpu"
                                  or H in SHEAR_TPU_VALIDATED_RES)
                      else "gather")
-    # geometric-stage payload dtype: the resample chain is HBM-bandwidth /
-    # gather-index bound on TPU and halves in bf16 (the reference runs its
-    # D tower itself in fp16 at these resolutions, train.py num_fp16_res=4,
-    # so half-precision augmented inputs are within its numeric envelope);
-    # CPU keeps fp32 so the oracle-parity tests stay exact.
-    if geom_dtype == "auto":
-        geom_dtype = ("bfloat16" if jax.default_backend() != "cpu"
-                      else "float32")
-    dt = jnp.dtype(geom_dtype)
+    dt = _resolve_geom_dtype(geom_dtype)
     m = Hz_pad * 2
     ones = jnp.ones((B,))
     # account for 2x upsample + half-pixel origin (augment.py:290-291)
@@ -398,12 +399,9 @@ def make_augment_pipe(cfg: AugmentConfig):
                 ones = jnp.ones((B,))
                 Gn = (scale2d(2 / W * ones, 2 / H * ones) @ G_inv
                       @ scale2d(W / 2 * ones, H / 2 * ones))
-                gdt = cfg.geom_dtype
-                if gdt == "auto":
-                    gdt = ("bfloat16" if jax.default_backend() != "cpu"
-                           else "float32")
+                gdt = _resolve_geom_dtype(cfg.geom_dtype)
                 images = affine_grid_sample(
-                    images.astype(jnp.dtype(gdt)), Gn, H, W,
+                    images.astype(gdt), Gn, H, W,
                     mode="reflect").astype(images.dtype)
             else:
                 images = _warp_antialiased(images, G_inv, Hz_geom, Hz_pad,

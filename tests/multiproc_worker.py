@@ -76,6 +76,18 @@ def main():
         generator_as_dataset=True, cache=False)
     out["fvd"] = float(r["results"]["fvd2048_16f"])
 
+    # ---- mesh + multi-process: calc_metric must restrict the GLOBAL mesh
+    # to this process's local devices (device_put of per-replica batches on
+    # a spanning mesh would touch non-addressable devices), and the replica
+    # merge must still produce identical numbers everywhere.
+    r2 = metric_main.calc_metric(
+        metric="fvd2048_16f",
+        dataset_kwargs=dict(path=ds_path, sampling=sampling, max_num_frames=16),
+        gen_dataset_kwargs=dict(path=ds_path, sampling=sampling,
+                                max_num_frames=16),
+        generator_as_dataset=True, cache=False, mesh=mesh)
+    out["fvd_mesh"] = float(r2["results"]["fvd2048_16f"])
+
     print("RESULT " + json.dumps(out, sort_keys=True))
 
 

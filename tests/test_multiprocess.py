@@ -64,5 +64,8 @@ def test_two_process_four_device_cluster(tmp_path):
     assert r0["stats_mu_head"] == r1["stats_mu_head"]
     assert r0["fvd"] == r1["fvd"]
     assert abs(r0["fvd"]) < 1.0                  # dataset vs itself
+    # mesh + multi-process: local-mesh restriction, identical everywhere
+    assert r0["fvd_mesh"] == r1["fvd_mesh"]
+    assert abs(r0["fvd_mesh"]) < 1.0
     assert r0["batch_sum"] == r1["batch_sum"]
     assert r0["consistency_ok"] and r1["consistency_ok"]
