@@ -66,6 +66,17 @@ def main():
     out["stats_mu_head"] = [round(float(v), 12) for v in mu[:4]]
     out["stats_all_shape"] = list(stats.get_all().shape)
 
+    # zero-share replica: max_items=1 with 2 processes leaves rank 1 with
+    # no items; the cross-process merge must still converge on every rank
+    # (feature dim learned from peers) instead of assert-crash + peer hang
+    stats1 = compute_feature_stats_for_dataset(
+        MetricOptions(dataset_kwargs=dkw, cache=False,
+                      num_replicas=nproc, replica=pid, rank=pid),
+        "i3d", {}, capture_mean_cov=True, max_items=1,
+        temporal_detector=True, batch_size=2)
+    out["stats1_num_items"] = stats1.num_items
+    out["stats1_mu0"] = round(float(stats1.get_mean_cov()[0][0]), 12)
+
     # ---- full metric with result broadcast --------------------------------
     from stylegan_v_tpu.metrics import metric_main
     r = metric_main.calc_metric(

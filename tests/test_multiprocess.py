@@ -62,6 +62,9 @@ def test_two_process_four_device_cluster(tmp_path):
     # merged stats and broadcast metric results must be IDENTICAL across
     # processes (reference metric_utils.py:103-113 + metric_main.py:52-59)
     assert r0["stats_mu_head"] == r1["stats_mu_head"]
+    # zero-share replica (max_items=1 < process_count): identical everywhere
+    assert r0["stats1_num_items"] == r1["stats1_num_items"] == 1
+    assert r0["stats1_mu0"] == r1["stats1_mu0"]
     assert r0["fvd"] == r1["fvd"]
     assert abs(r0["fvd"]) < 1.0                  # dataset vs itself
     # mesh + multi-process: local-mesh restriction, identical everywhere
