@@ -8,16 +8,18 @@ fine-tuned on UCF-101 (101 classes), returning softmax class probabilities.
 
 This module provides the same network as NDHWC flax conv3ds (runnable sharded
 under jit on TPU) plus a converter from the torch state_dict naming
-(conv1a.weight ... fc8.bias). Forward+converter parity is asserted against an
-independent torch reimplementation in tests/test_c3d_flax.py (random weights,
-the same validation pattern as the I3D/InceptionV3 ports); bit-parity against
-the real TorchScript file additionally needs its embedded preprocessing
-constants, which requires the (non-downloadable here) detector file — the
-TorchScript backend remains the bit-exact path when the file is present.
+(conv1a.weight ... fc8.bias). Forward+converter parity — INCLUDING the full
+preprocessing chain (112^2 torch-bilinear resize + per-pixel mean-cube
+subtraction) — is asserted against an independent torch reimplementation in
+tests/test_c3d_flax.py; scripts/validate_detectors.py gates the same chain
+against the real TorchScript file at non-native resolution once it is
+available (no egress here). The TorchScript backend remains the bit-exact
+path when the file is present.
 
-Input contract (mirrors the torchscript port's): uint8 videos, 16 frames,
-resized to 112x112, channels-last; preprocessing = mean subtraction with the
-UCF-101 channel means used by tgan2.
+Input contract (mirrors the torchscript port's): uint8 videos [N,T,H,W,C] at
+any resolution; preprocessing resizes to 112x112 (torch bilinear,
+align_corners=False, no antialias) and subtracts the tgan2 per-pixel mean
+cube extracted from the detector file's registered buffer.
 """
 from __future__ import annotations
 
@@ -28,8 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# per-channel RGB input means of the tgan2 UCF-101 mean cube
-# (tgan2/models/c3d/c3d_ucf101.py mean file, spatially averaged)
+# Fallback when the detector file carries no mean buffer: per-channel RGB
+# means of the tgan2 UCF-101 mean cube (spatially averaged). The real path
+# uses the full [16,112,112,3] cube from convert_c3d_state_dict.
 UCF101_MEAN_RGB = (101.2, 97.6, 89.6)
 
 
@@ -77,9 +80,25 @@ def convert_c3d_state_dict(state_dict: Dict[str, np.ndarray],
 
     conv3d [O, I, kt, kh, kw] -> [kt, kh, kw, I, O]; linear [out, in] ->
     [in, out]. Handles TorchScript prefix wrappers (e.g. 'model.conv1a...').
+
+    Additionally extracts the tgan2 PER-PIXEL MEAN CUBE if the TorchScript
+    registered it as a buffer (the tgan2 eval subtracts a [3,16,112,112]
+    Sports-1M/UCF mean volume, not a scalar per channel — reference
+    src/metrics/video_inception_score.py:16-19 cites that exact port). When
+    present it is returned under variables['preprocess']['mean_cube'] as
+    [16,112,112,3] and c3d_features_fn uses it verbatim.
     """
     params: Dict[str, Dict[str, np.ndarray]] = {}
+    mean_cube = None
     for name, arr in state_dict.items():
+        a = np.asarray(arr)
+        sq = np.squeeze(a)
+        if "mean" in name.split(".")[-1].lower() and sq.ndim == 4:
+            if sq.shape[0] == 3:                   # [3, T, H, W] torch layout
+                sq = np.transpose(sq, (1, 2, 3, 0))
+            if sq.shape[-1] == 3:
+                mean_cube = np.ascontiguousarray(sq, np.float32)
+            continue
         parts = name.split(".")
         if len(parts) < 2 or parts[-1] not in ("weight", "bias"):
             continue
@@ -98,22 +117,43 @@ def convert_c3d_state_dict(state_dict: Dict[str, np.ndarray],
                 "conv5a", "conv5b", "fc6", "fc7", "fc8"}
     missing = expected - set(params)
     assert not missing, f"C3D converter: missing layers {sorted(missing)}"
-    return {"params": params}
+    out: Dict = {"params": params}
+    if mean_cube is not None:
+        out["preprocess"] = {"mean_cube": mean_cube}
+    return out
 
 
 def c3d_features_fn(variables, batch_size: int = 16, mesh=None,
                     mean_rgb: Tuple[float, float, float] = UCF101_MEAN_RGB):
     """features(videos uint8 [N,T,H,W,C]) -> np [N,101] class probabilities,
-    under jit; with `mesh`, batches shard over the 'data' axis."""
+    under jit; with `mesh`, batches shard over the 'data' axis.
+
+    Preprocessing chain (the tgan2 convention the TorchScript wraps,
+    reference src/metrics/video_inception_score.py:16-19): cast float ->
+    resize frames to 112^2 with torch bilinear (align_corners=False, no
+    antialias) on the raw 0..255 values -> subtract the PER-PIXEL
+    [16,112,112,3] mean cube (extracted from the detector file by
+    convert_c3d_state_dict; spatially-flat channel-mean fallback when the
+    file carries no mean buffer). For T != 16 the cube is averaged over
+    time (Video-IS always evaluates 16-frame clips, so this is off-path).
+    """
+    from .resize import bilinear_resize
+    variables = dict(variables)
+    pre = variables.pop("preprocess", None)
+    cube = None if pre is None else np.asarray(pre["mean_cube"], np.float32)
     model = C3D()
-    mean = jnp.asarray(mean_rgb, jnp.float32)
+    mean_flat = jnp.asarray(mean_rgb, jnp.float32)
 
     def compute(v):
         x = v.astype(jnp.float32)
-        if x.shape[2] != 112 or x.shape[3] != 112:
-            N, T = x.shape[:2]
-            x = jax.image.resize(x, (N, T, 112, 112, x.shape[-1]), "bilinear")
-        x = x - mean
+        x = bilinear_resize(x, 112, 112, h_axis=2, w_axis=3,
+                            mapping="half_pixel")
+        if cube is not None:
+            m = (jnp.asarray(cube) if x.shape[1] == cube.shape[0]
+                 else jnp.asarray(cube.mean(axis=0, keepdims=True)))
+            x = x - m[None]
+        else:
+            x = x - mean_flat
         return model.apply(variables, x)
 
     if mesh is not None:

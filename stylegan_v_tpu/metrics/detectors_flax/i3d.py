@@ -198,19 +198,32 @@ def convert_i3d_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def i3d_features_fn(variables, batch_size: int = 16, mesh=None):
+def i3d_features_fn(variables, batch_size: int = 16, mesh=None,
+                    rescale: bool = True, resize: bool = True,
+                    return_features: bool = True):
     """Build features(videos uint8 [N,T,H,W,C]) -> np [N,1024] running the
     flax I3D under jit; with `mesh`, batches are sharded over the 'data'
-    axis (the sharded metric-extraction path, BASELINE north star)."""
+    axis (the sharded metric-extraction path, BASELINE north star).
+
+    rescale/resize/return_features replicate the TorchScript module's own
+    forward kwargs (the reference invokes it with rescale=True, resize=True,
+    return_features=True on raw uint8 videos, reference
+    frechet_video_distance.py:23 + metric_utils.py:245): rescale maps
+    [0,255] -> [-1,1] via x*2/255-1; resize is the module's internal
+    F.interpolate(..., (T,224,224), mode='trilinear', align_corners=False)
+    — per-frame half-pixel bilinear, NO antialiasing (not jax.image.resize).
+    """
+    from .resize import bilinear_resize
     model = InceptionI3d()
 
     def compute(v):
-        x = v.astype(jnp.float32) / 127.5 - 1.0
-        if x.shape[2] != 224 or x.shape[3] != 224:
-            # the FVD detector operates at 224^2 (its `resize` preprocessing)
-            N, T = x.shape[:2]
-            x = jax.image.resize(x, (N, T, 224, 224, x.shape[-1]), "bilinear")
-        return model.apply(variables, x)
+        x = v.astype(jnp.float32)
+        if rescale:
+            x = x * (2.0 / 255.0) - 1.0
+        if resize:
+            x = bilinear_resize(x, 224, 224, h_axis=2, w_axis=3,
+                                mapping="half_pixel")
+        return model.apply(variables, x, return_features=return_features)
 
     if mesh is not None:
         from ...parallel.sharded_eval import sharded_map_batched

@@ -150,7 +150,8 @@ class InceptionV3(nn.Module):
     num_classes: int = 1008
 
     @nn.compact
-    def __call__(self, x, return_features: bool = True):
+    def __call__(self, x, return_features: bool = True,
+                 no_output_bias: bool = False):
         x = ConvBN(32, (3, 3), (2, 2), name="conv")(x)
         x = ConvBN(32, (3, 3), name="conv_1")(x)
         x = ConvBN(64, (3, 3), padding="SAME", name="conv_2")(x)
@@ -176,7 +177,8 @@ class InceptionV3(nn.Module):
                        (2048, self.num_classes), jnp.float32)
         b = self.param("fc_b", nn.initializers.zeros,
                        (self.num_classes,), jnp.float32)
-        return feats @ w + b
+        logits = feats @ w
+        return logits if no_output_bias else logits + b
 
 
 # --------------------------- weight conversion --------------------------------
@@ -227,13 +229,18 @@ def convert_inception_state_dict(tensors: Dict[str, np.ndarray],
             if cur:
                 groups.append(cur)
             cur = {"conv_w": np.transpose(val, (2, 3, 1, 0))}
-        elif cur and leaf in ("weight",) and val.ndim == 1:
+            continue
+        # BN tensors must match the current conv's output channels — guards
+        # against unrelated 1-D tensors (e.g. the classifier bias) being
+        # swept into the last conv group
+        ch_ok = cur and val.ndim == 1 and val.shape[0] == cur["conv_w"].shape[-1]
+        if ch_ok and leaf == "weight":
             cur["bn_w"] = val
-        elif cur and leaf == "bias" and val.ndim == 1:
+        elif ch_ok and leaf == "bias":
             cur["bn_b"] = val
-        elif cur and leaf == "running_mean":
+        elif ch_ok and leaf == "running_mean":
             cur["bn_mean"] = val
-        elif cur and leaf == "running_var":
+        elif ch_ok and leaf == "running_var":
             cur["bn_var"] = val
     if cur:
         groups.append(cur)
@@ -264,20 +271,56 @@ def convert_inception_state_dict(tensors: Dict[str, np.ndarray],
         put(params, path, "bn_b", g.get("bn_b", np.zeros(shape[-1])))
         put(stats, path, "bn_mean", g.get("bn_mean", np.zeros(shape[-1])))
         put(stats, path, "bn_var", g.get("bn_var", np.ones(shape[-1])))
+
+    # classifier head (the IS path, no_output_bias kwarg): match the unique
+    # 2-D weight with a 2048 feature dim (torch layout [num_classes, 2048])
+    # + its num_classes bias. The template may lack head params (flax
+    # @nn.compact only materializes them when return_features=False runs),
+    # so the head is added rather than overwritten; bias defaults to zeros.
+    nc = None
+    for val in tensors.values():
+        val = np.asarray(val)
+        if val.ndim == 2 and 2048 in val.shape and val.shape != (2048, 2048):
+            w = val.T if val.shape[1] == 2048 else val
+            params["fc_w"] = np.asarray(w, np.float32)
+            nc = w.shape[1]
+    if nc is not None:
+        params.setdefault("fc_b", np.zeros((nc,), np.float32))
+        for name, val in tensors.items():
+            val = np.asarray(val)
+            if (val.ndim == 1 and val.shape == (nc,)
+                    and name.split(".")[-1] == "bias"):
+                params["fc_b"] = np.asarray(val, np.float32)
     return {"params": params, "batch_stats": stats}
 
 
-def inception_features_fn(variables, batch_size: int = 64, mesh=None):
+def inception_features_fn(variables, batch_size: int = 64, mesh=None,
+                          return_features: bool = False,
+                          no_output_bias: bool = False):
     """features(images uint8 [N,H,W,C]) -> np [N,2048] under jit on TPU;
-    with `mesh`, batches are sharded over the 'data' axis."""
+    with `mesh`, batches are sharded over the 'data' axis.
+
+    Preprocessing replicates the TF 'inception-2015-12-05' graph that
+    NVIDIA's TorchScript transcribes (and that the reference FID/IS invoke
+    on raw uint8, reference frechet_inception_distance.py:16-17): cast ->
+    ResizeBilinear to 299^2 with TF1 align_corners=False ASYMMETRIC mapping
+    (no antialias, applied to the raw 0..255 values) -> Sub(128) ->
+    Mul(1/128). With return_features=False, returns the softmax class
+    probabilities (optionally skipping the output bias — the reference IS
+    detector's no_output_bias kwarg, reference inception_score.py:18)."""
+    from .resize import bilinear_resize
     model = InceptionV3()
 
     def compute(v):
-        x = v.astype(jnp.float32) / 127.5 - 1.0
-        if x.shape[1] != 299 or x.shape[2] != 299:
-            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]),
-                                 "bilinear")
-        return model.apply(variables, x)
+        x = v.astype(jnp.float32)
+        x = bilinear_resize(x, 299, 299, h_axis=1, w_axis=2,
+                            mapping="asymmetric")
+        x = (x - 128.0) * (1.0 / 128.0)
+        out = model.apply(variables, x, return_features=return_features,
+                          no_output_bias=no_output_bias)
+        if not return_features:
+            out = jax.nn.softmax(out, axis=-1)
+        return out
 
     if mesh is not None:
         from ...parallel.sharded_eval import sharded_map_batched

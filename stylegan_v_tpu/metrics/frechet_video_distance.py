@@ -11,7 +11,10 @@ NUM_FRAMES_IN_BATCH = {128: 128, 256: 128, 512: 64, 1024: 32}
 
 def compute_fvd(opts, max_real, num_gen, num_frames: int,
                 subsample_factor: int = 1, detector_name: str = "i3d") -> float:
-    detector_kwargs = dict(rescale=False, resize=False, return_features=True)
+    # EXACT reference kwargs (frechet_video_distance.py:23): raw uint8 goes
+    # into the detector, which rescales to [-1,1] and resizes to 224^2
+    # internally (torch trilinear, align_corners=False, no antialias).
+    detector_kwargs = dict(rescale=True, resize=True, return_features=True)
     resolution = opts.dataset_kwargs.get("resolution") or 256
     batch_size = NUM_FRAMES_IN_BATCH.get(resolution, 128)
 

@@ -97,3 +97,45 @@ def test_c3d_features_fn_resizes_and_batches(models):
     sharded = c3d_features_fn(variables, batch_size=8,
                               mesh=create_mesh(frame=1))(videos)
     np.testing.assert_allclose(sharded, probs, rtol=1e-4, atol=1e-6)
+
+
+def test_c3d_converter_extracts_mean_cube(models):
+    """The tgan2 TorchScript registers the per-pixel mean volume as a buffer;
+    the converter must surface it (in either [3,T,H,W] or [1,3,T,H,W]
+    layout) as variables['preprocess']['mean_cube'] [T,H,W,3]."""
+    ref, _ = models
+    cube = np.random.RandomState(7).rand(3, 16, 112, 112).astype(np.float32) * 50 + 75
+    for stored in (cube, cube[None]):
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        sd["mean"] = stored
+        variables = convert_c3d_state_dict(sd)
+        got = variables["preprocess"]["mean_cube"]
+        assert got.shape == (16, 112, 112, 3)
+        np.testing.assert_allclose(got, cube.transpose(1, 2, 3, 0))
+
+
+@pytest.mark.slow
+def test_c3d_full_preprocessing_chain_parity(models):
+    """Raw uint8 256^2 videos through the FULL chain: torch oracle = the
+    tgan2 wrapper's preprocessing (trilinear resize to (16,112,112) on raw
+    0..255 floats, align_corners=False, then per-pixel mean-cube
+    subtraction) + the replica network; flax = c3d_features_fn with the
+    cube extracted by the converter (VERDICT r2 task 2)."""
+    ref, _ = models
+    cube = np.random.RandomState(9).rand(3, 16, 112, 112).astype(np.float32) * 60 + 70
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    sd["mean"] = cube
+    variables = convert_c3d_state_dict(sd)
+
+    rng = np.random.RandomState(2)
+    videos = rng.randint(0, 256, (2, 16, 256, 256, 3)).astype(np.uint8)
+    with torch.no_grad():
+        x = torch.from_numpy(videos.transpose(0, 4, 1, 2, 3).astype(np.float32))
+        x = tF.interpolate(x, size=(16, 112, 112), mode="trilinear",
+                           align_corners=False)
+        x = x - torch.from_numpy(cube)[None]
+        want = ref(x).numpy()
+
+    got = c3d_features_fn(variables)(videos)
+    assert got.shape == want.shape == (2, 101)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

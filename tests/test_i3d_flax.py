@@ -123,6 +123,41 @@ def test_i3d_forward_parity_random_weights():
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
+def test_i3d_preprocessing_chain_parity_non_native_res():
+    """Raw uint8 256^2 videos through the FULL chain with the reference FVD
+    kwargs (rescale=True, resize=True — reference
+    frechet_video_distance.py:23): torch oracle = the TorchScript's internal
+    preprocessing (x*2/255-1, then trilinear resize to (T,224,224),
+    align_corners=False) + the replica network; flax = i3d_features_fn.
+    This is the gate the round-2 validator was blind to (it only fed 224^2,
+    where resize is a no-op)."""
+    torch.manual_seed(0)
+    ref = TI3D().eval()
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+    variables = convert_i3d_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+
+    rng = np.random.RandomState(0)
+    videos = rng.randint(0, 256, (2, 16, 256, 256, 3)).astype(np.uint8)
+    with torch.no_grad():
+        x = torch.from_numpy(
+            videos.transpose(0, 4, 1, 2, 3).astype(np.float32))
+        x = x * (2.0 / 255.0) - 1.0
+        x = TF.interpolate(x, size=(x.shape[2], 224, 224), mode="trilinear",
+                           align_corners=False)
+        want = ref(x).numpy()
+
+    from stylegan_v_tpu.metrics.detectors_flax import i3d_features_fn
+    got = i3d_features_fn(variables, rescale=True, resize=True,
+                          return_features=True)(videos)
+    assert got.shape == want.shape == (2, 1024)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
 def test_converter_handles_prefixes():
     sd = {"wrapped.module.Conv3d_1a_7x7.conv3d.weight":
           np.zeros((64, 3, 7, 7, 7), np.float32),

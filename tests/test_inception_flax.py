@@ -176,3 +176,76 @@ def test_inception_forward_parity_random_weights():
     got = np.asarray(model.apply(variables, jnp.asarray(x)))
     assert got.shape == want.shape == (2, 2048)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def _np_tf1_resize(x, out_h, out_w):
+    """TF1 resize_bilinear(align_corners=False) oracle (asymmetric mapping),
+    vectorized per axis — the resampler inside NVIDIA's FID TorchScript."""
+    def axis(v, out_size, ax):
+        n = v.shape[ax]
+        src = np.arange(out_size) * (n / out_size)
+        i0 = np.floor(src).astype(int)
+        i1 = np.minimum(i0 + 1, n - 1)
+        w = (src - i0).reshape([-1 if a == ax else 1 for a in range(v.ndim)])
+        return np.take(v, i0, ax) * (1 - w) + np.take(v, i1, ax) * w
+    return axis(axis(x.astype(np.float64), out_h, 1), out_w, 2)
+
+
+@pytest.mark.slow
+def test_inception_preprocessing_chain_parity_non_native_res():
+    """Raw uint8 256^2 images through the FULL chain: torch oracle = the TF
+    graph's preprocessing (cast -> TF1 asymmetric ResizeBilinear to 299^2 on
+    raw 0..255 values -> Sub(128) -> Mul(1/128)) + the replica network; flax
+    = inception_features_fn (VERDICT r2 task 1, Inception half)."""
+    torch.manual_seed(0)
+    ref = TInception().eval()
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+    model = InceptionV3()
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    variables = convert_inception_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template)
+
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (2, 256, 256, 3)).astype(np.uint8)
+    pre = (_np_tf1_resize(images, 299, 299) - 128.0) / 128.0
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            pre.transpose(0, 3, 1, 2).astype(np.float32))).numpy()
+
+    from stylegan_v_tpu.metrics.detectors_flax.inception_v3 import (
+        inception_features_fn)
+    got = inception_features_fn(variables, return_features=True)(images)
+    assert got.shape == want.shape == (2, 2048)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def test_converter_maps_classifier_head():
+    """The IS path needs the 1008-way head: the converter must pick up the
+    unique [num_classes, 2048] weight + bias, and no_output_bias must drop
+    the bias (reference inception_score.py:18 detector kwargs)."""
+    torch.manual_seed(1)
+    ref = TInception().eval()
+    model = InceptionV3()
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    fc_w = np.random.RandomState(3).randn(1008, 2048).astype(np.float32) * 0.01
+    fc_b = np.random.RandomState(4).randn(1008).astype(np.float32)
+    sd["output.weight"] = fc_w
+    sd["output.bias"] = fc_b
+    variables = convert_inception_state_dict(sd, template)
+    np.testing.assert_allclose(variables["params"]["fc_w"], fc_w.T)
+    np.testing.assert_allclose(variables["params"]["fc_b"], fc_b)
+
+    x = np.random.RandomState(5).rand(2, 299, 299, 3).astype(np.float32)
+    feats = np.asarray(model.apply(variables, jnp.asarray(x)))
+    logits = np.asarray(model.apply(variables, jnp.asarray(x),
+                                    return_features=False))
+    logits_nb = np.asarray(model.apply(variables, jnp.asarray(x),
+                                       return_features=False,
+                                       no_output_bias=True))
+    np.testing.assert_allclose(logits, feats @ fc_w.T + fc_b,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(logits_nb, feats @ fc_w.T, rtol=1e-4, atol=1e-4)
