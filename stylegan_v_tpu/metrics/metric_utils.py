@@ -102,9 +102,15 @@ class FeatureStats:
         return mean, cov
 
     def save(self, pkl_file: str) -> None:
+        # atomic temp-file + os.replace, matching the reference's save
+        # pattern (metric_utils.py:250-254) — a crash mid-write must never
+        # leave a truncated pkl that later runs load and fail on
+        import uuid
         os.makedirs(os.path.dirname(os.path.abspath(pkl_file)), exist_ok=True)
-        with open(pkl_file, "wb") as f:
+        temp_file = pkl_file + "." + uuid.uuid4().hex
+        with open(temp_file, "wb") as f:
             pickle.dump(self.__dict__, f)
+        os.replace(temp_file, pkl_file)
 
     @staticmethod
     def load(pkl_file: str) -> "FeatureStats":
@@ -290,7 +296,8 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
                                       jnp.zeros((1, 299, 299, 3)))
                 variables = convert_inception_state_dict(
                     {k: v.numpy() for k, v in sd.items()}, template)
-                return inception_features_fn(variables, mesh=opts.mesh)
+                return inception_features_fn(variables, mesh=opts.mesh,
+                                             **detector_kwargs)
             if name == "i3d" and os.environ.get("SGV_I3D_FLAX"):
                 # native on-TPU feature extraction: convert the pytorch_i3d
                 # weights into the flax InceptionI3d (architecture+converter
@@ -301,14 +308,16 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
                 sd = torch.jit.load(path).state_dict()
                 variables = convert_i3d_state_dict(
                     {k: v.numpy() for k, v in sd.items()})
-                return i3d_features_fn(variables, mesh=opts.mesh)
+                return i3d_features_fn(variables, mesh=opts.mesh,
+                                       **detector_kwargs)
             if name == "c3d_ucf101" and os.environ.get("SGV_C3D_FLAX"):
                 import torch
                 from .detectors_flax import convert_c3d_state_dict, c3d_features_fn
                 sd = torch.jit.load(path).state_dict()
                 variables = convert_c3d_state_dict(
                     {k: v.numpy() for k, v in sd.items()})
-                return c3d_features_fn(variables, mesh=opts.mesh)
+                return c3d_features_fn(variables, mesh=opts.mesh,
+                                       **detector_kwargs)
             return _torchscript_detector(path, name, **detector_kwargs)
     raise FileNotFoundError(
         f"Detector '{name}' ({fname}) not found in {_detector_search_dirs(opts)}. "
@@ -318,7 +327,11 @@ def get_detector(name: str, opts: MetricOptions, **detector_kwargs) -> Callable:
 
 def _torchscript_detector(path: str, name: str, **detector_kwargs) -> Callable:
     """Run the reference TorchScript detector via CPU torch — numerically
-    identical to the reference metric stack by construction."""
+    identical to the reference metric stack by construction: the raw uint8
+    batch goes straight into the scripted module with the caller's kwargs
+    verbatim, exactly like reference metric_utils.py:232-245 (all
+    rescaling/resizing happens INSIDE the TorchScript, steered by kwargs
+    such as the I3D's rescale=True, resize=True)."""
     import torch
     model = torch.jit.load(path).eval()
 
@@ -326,12 +339,12 @@ def _torchscript_detector(path: str, name: str, **detector_kwargs) -> Callable:
         assert images.dtype == np.uint8
         with torch.no_grad():
             if images.ndim == 5:      # video: [N,T,H,W,C] -> [N,C,T,H,W]
-                x = torch.from_numpy(images.transpose(0, 4, 1, 2, 3)).float()
-                x = x / 127.5 - 1.0   # I3D expects [-1, 1] (reference port)
-                out = model(x, **detector_kwargs)
-            else:                     # image: [N,H,W,C] -> [N,C,H,W] uint8
-                x = torch.from_numpy(images.transpose(0, 3, 1, 2))
-                out = model(x, **detector_kwargs)
+                x = torch.from_numpy(
+                    np.ascontiguousarray(images.transpose(0, 4, 1, 2, 3)))
+            else:                     # image: [N,H,W,C] -> [N,C,H,W]
+                x = torch.from_numpy(
+                    np.ascontiguousarray(images.transpose(0, 3, 1, 2)))
+            out = model(x, **detector_kwargs)
         return out.numpy()
 
     return features
@@ -352,6 +365,47 @@ def _cache_tag(opts: MetricOptions, dataset_kwargs: Dict, detector_name: str,
     name = os.path.splitext(os.path.basename(
         str(dataset_kwargs.get("path", "ds"))))[0]
     return f"{name}-{detector_name}-{md5}"
+
+
+def _iter_items_threaded(dataset, indices, num_workers: int = 8,
+                         prefetch: int = 32):
+    """Yield dataset[idx] for idx in indices IN ORDER, decoding up to
+    `prefetch` items ahead on a thread pool — the metric analog of the
+    training loader's threaded decode (data/loader.py), hiding JPEG-decode
+    latency behind the detector forward (the reference hides it in
+    DataLoader workers, reference metric_utils.py:229-231). Order
+    preservation keeps FeatureStats truncation and capture_all order
+    identical to the serial loop."""
+    if num_workers <= 1 or len(indices) <= 1:
+        for idx in indices:
+            yield dataset[idx]
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        pending = deque()
+        it = iter(indices)
+        for _ in range(min(prefetch, len(indices))):
+            pending.append(ex.submit(dataset.__getitem__, next(it)))
+        while pending:
+            item = pending.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(ex.submit(dataset.__getitem__, nxt))
+            yield item
+
+
+def _detector_backend_tag(name: str) -> str:
+    """Cache-key backend class: 'stub' and 'custom' features must never
+    share a cache entry with the real detectors ('real' covers both the
+    TorchScript and flax paths — gated to <=1e-3 agreement by
+    scripts/validate_detectors.py, so their dataset stats are
+    interchangeable, matching the reference's single cache per detector)."""
+    if name in _custom_detectors:
+        return "custom"
+    if os.environ.get("SGV_STUB_DETECTORS"):
+        return "stub"
+    return "real"
 
 
 def _make_dataset(dataset_kwargs: Dict, use_image_dataset: bool):
@@ -379,13 +433,26 @@ def compute_feature_stats_for_dataset(
     multi_process = (jax.process_count() > 1
                      and opts.num_replicas == jax.process_count())
 
+    # A single-process caller with num_replicas>1 accumulates only its
+    # PARTIAL strided share — those stats are cached under a replica-tagged
+    # key so they can never poison the serial/full-stats cache entry
+    # (multi-process runs merge to identical FULL stats on every process
+    # before caching, so they share the canonical tag with serial runs,
+    # matching the reference's all-ranks-accumulate design,
+    # reference metric_utils.py:200-219).
+    partial_stats = opts.num_replicas > 1 and not multi_process
+
     cache_file = None
     if opts.cache:
         cache_dir = opts.cache_dir or os.path.join(
             os.path.expanduser("~"), ".cache", "stylegan_v_tpu", "metric-stats")
+        extra = dict(max_items=max_items, temporal=temporal_detector,
+                     image=use_image_dataset,
+                     backend=_detector_backend_tag(detector_name))
+        if partial_stats:
+            extra.update(num_replicas=opts.num_replicas, replica=opts.replica)
         tag = _cache_tag(opts, dataset_kwargs, detector_name, stats_kwargs,
-                         dict(max_items=max_items, temporal=temporal_detector,
-                              image=use_image_dataset))
+                         extra)
         cache_file = os.path.join(cache_dir, tag + ".pkl")
         hit = os.path.isfile(cache_file)
         if multi_process:
@@ -394,6 +461,12 @@ def compute_feature_stats_for_dataset(
             from jax.experimental import multihost_utils as mh
             hit = bool(np.asarray(mh.process_allgather(
                 np.asarray([int(hit)], np.int32)))[0, 0])
+            if hit and not os.path.isfile(cache_file):
+                raise RuntimeError(
+                    f"metric stats cache hit on process 0 but {cache_file} is "
+                    f"not visible on process {jax.process_index()} — the "
+                    f"cache dir must live on a filesystem shared by all "
+                    f"hosts (set cache_dir / --cache-dir accordingly)")
         if hit:
             return feature_stats_cls.load(cache_file)
 
@@ -415,8 +488,7 @@ def compute_feature_stats_for_dataset(
     item_subset = [(i * opts.num_replicas + opts.replica) % num_items
                    for i in range((num_items - 1) // opts.num_replicas + 1)]
     batch = []
-    for idx in item_subset:
-        item = dataset[idx]
+    for item in _iter_items_threaded(dataset, item_subset):
         img = item["image"]
         if not temporal_detector and img.ndim == 4:
             img = img[0]              # first frame for image detectors
