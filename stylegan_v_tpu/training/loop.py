@@ -100,6 +100,23 @@ def training_loop(setup: TrainSetup,
                          max_rows=0, log=log)
     print_module_summary({"params": state.params_D}, "Discriminator",
                          max_rows=0, log=log)
+    try:
+        # per-module output shapes from an abstract dummy forward (the
+        # reference's print_module_summary pass, misc.py:193-272)
+        import jax.numpy as jnp
+        from ..utils.summary import print_activation_summary
+        F = setup.sampling_cfg.num_frames_per_video
+        z0 = jnp.zeros((1, setup.gen_cfg.z_dim))
+        c0 = (jnp.zeros((1, setup.gen_cfg.c_dim))
+              if setup.gen_cfg.c_dim > 0 else None)
+        t0 = jnp.zeros((1, F))
+        print_activation_summary(
+            G, {"params": state.params_G, **state.extra_G}, z0, c0, t0,
+            noise_mode="const", title="Generator", log=log,
+            rngs={"motion": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1)})
+    except Exception as e:                          # diagnostics only
+        log(f"  (activation summary unavailable: {e!r})")
 
     # ---- resume (reference train.py:283-317, training_loop.py:167-183) ---
     resume_nimg = 0
@@ -233,8 +250,26 @@ def training_loop(setup: TrainSetup,
                                    noise_mode="const")
             save_image_grid(vids[:, 0] * 2 - 1,
                             os.path.join(run_dir, f"fakes{cur_nimg:06d}.jpg"))
+            panel = videos_as_grids(vids)
+            if setup.gen_cfg.has_motion:
+                # moco-decomposition panel (reference
+                # training_loop.py:448-462): [different-motion grid | white
+                # pad | same-motion grid] — ONE motion trajectory repeated
+                # across all videos exposes content/motion entanglement at a
+                # glance during training.
+                from ..models.motion import MotionMappingNetwork
+                L = MotionMappingNetwork.required_traj_len(
+                    setup.gen_cfg, float(ts.max()))
+                mz = np.repeat(np.asarray(jax.random.normal(
+                    jax.random.PRNGKey(setup.seed + 2),
+                    (1, L, setup.gen_cfg.motion.z_dim))), vis_n, axis=0)
+                same = videos_as_grids(generate_videos(
+                    G, ema_vars, vis_z, vis_c, ts, motion_z=mz,
+                    noise_mode="const"))
+                pad = np.ones_like(panel[:, :, :min(64, panel.shape[2])])
+                panel = np.concatenate([panel, pad, same], axis=2)
             save_video_frames_as_mp4(
-                videos_as_grids(vids), setup.sampling_cfg.fps,
+                panel, setup.sampling_cfg.fps,
                 os.path.join(run_dir, f"fakes{cur_nimg:06d}.mp4"))
             save_snapshot(run_dir, jax.device_get(state), cur_nimg,
                           configs={"G": setup.gen_cfg, "D": setup.disc_cfg})
@@ -257,7 +292,19 @@ def training_loop(setup: TrainSetup,
 
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, setup.total_kimg)
-        if abort_fn is not None and abort_fn():
+        # rank-agreed abort (reference training_loop.py:130,436-440 requires
+        # abort_fn to agree across ranks; here ANY process's abort wins via
+        # an explicit per-tick allgather, so no process can leave the loop
+        # alone and deadlock the others' next collective). Ticks are
+        # synchronized by construction — cur_nimg comes from the global
+        # sharded state — so every process reaches this collective together.
+        local_abort = bool(abort_fn()) if abort_fn is not None else False
+        if n_proc > 1:
+            from jax.experimental import multihost_utils as mh
+            local_abort = bool(np.asarray(mh.process_allgather(
+                np.asarray([int(local_abort)], np.int32))).max())
+        if local_abort:
+            log("Aborting...")
             done = True
         if done:
             break

@@ -50,6 +50,50 @@ def print_module_summary(variables: Dict[str, Any], title: str = "Module",
     return total
 
 
+def activation_summary_rows(module, variables, *args, method=None,
+                            **kwargs) -> List[Dict]:
+    """Per-module OUTPUT shapes from a dummy forward (the reference's
+    print_module_summary hook pass, torch_utils/misc.py:193-272), computed
+    with jax.eval_shape + flax capture_intermediates — abstract tracing
+    only, no FLOPs, no device memory."""
+    import jax
+
+    def run(*a):
+        _, mods = module.apply(variables, *a, capture_intermediates=True,
+                               mutable="intermediates", method=method,
+                               **kwargs)
+        return mods["intermediates"]
+
+    inter = jax.eval_shape(run, *args)
+    rows = []
+    flat = jax.tree_util.tree_flatten_with_path(
+        inter, is_leaf=lambda x: isinstance(x, tuple))[0]
+    for path, leaf in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path
+                        if getattr(p, "key", None) != "__call__")
+        outs = leaf if isinstance(leaf, tuple) else (leaf,)
+        for o in outs:
+            rows.append(dict(name=name or "(root)",
+                             shape=tuple(getattr(o, "shape", ())),
+                             dtype=str(getattr(o, "dtype", "?"))))
+    return rows
+
+
+def print_activation_summary(module, variables, *args, title: str = "Module",
+                             log=print, method=None, **kwargs) -> List[Dict]:
+    """Print the per-module output-shape table for a dummy forward."""
+    rows = activation_summary_rows(module, variables, *args, method=method,
+                                   **kwargs)
+    w = max((len(r["name"]) for r in rows), default=10) + 2
+    log(f"\n{title} activations (dummy forward)")
+    log(f"{'Module':<{w}}{'Output shape':<26}Dtype")
+    log("-" * (w + 36))
+    for r in rows:
+        log(f"{r['name']:<{w}}{str(r['shape']):<26}{r['dtype']}")
+    log("-" * (w + 36))
+    return rows
+
+
 def tree_content_hash(tree, ignore_regex: Optional[str] = None) -> str:
     """Deterministic md5 over all leaves (sorted by path)."""
     import jax

@@ -99,6 +99,39 @@ def main():
         generator_as_dataset=True, cache=False, mesh=mesh)
     out["fvd_mesh"] = float(r2["results"]["fvd2048_16f"])
 
+    # ---- rank-agreed abort: only process 1's abort_fn fires, but BOTH
+    # processes must leave the training loop at the same tick instead of
+    # process 1 exiting alone and deadlocking process 0's next collective
+    # (reference training_loop.py:130,436-440 contract).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_models import small_gen_cfg, small_disc_cfg
+    from stylegan_v_tpu.train_setup import TrainSetup
+    from stylegan_v_tpu.training.loop import training_loop
+    from stylegan_v_tpu.training.loss import LossConfig
+    from stylegan_v_tpu.training.train_step import OptimizerConfig, TrainingConfig
+    from stylegan_v_tpu.models.config import SamplingConfig as _SC
+    sampling3 = _SC(num_frames_per_video=3, max_num_frames=16,
+                    total_dists=(1, 2, 4, 8), max_dist=8)
+    setup = TrainSetup(
+        run_dir=os.path.join(os.path.dirname(ds_path), f"abort_run_{pid}"),
+        desc="abort",
+        gen_cfg=small_gen_cfg(img_resolution=16, channel_base=512),
+        disc_cfg=small_disc_cfg(img_resolution=16, channel_base=512,
+                                concat_res=4),
+        loss_cfg=LossConfig(r1_gamma=0.5, pl_weight=0.0),
+        train_cfg=TrainingConfig(batch_size=8, ema_kimg=0.5, ada_target=0.6),
+        opt_g=OptimizerConfig(lr=0.002), opt_d=OptimizerConfig(lr=0.002),
+        augment_cfg=None, augment_p=0.0,
+        dataset_kwargs=dict(path=ds_path, sampling=sampling3,
+                            max_num_frames=16),
+        sampling_cfg=sampling3, use_fractional_t=True,
+        total_kimg=1, kimg_per_tick=0.024, snap_ticks=0,
+        metrics=[], seed=0, num_chips=1, resume=None, freeze_layers=0,
+        num_workers=2)
+    res = training_loop(setup, abort_fn=lambda: pid == 1,
+                        log=lambda *_: None)
+    out["abort_nimg"] = int(res["cur_nimg"])   # far below total_kimg*1000
+
     print("RESULT " + json.dumps(out, sort_keys=True))
 
 

@@ -252,3 +252,31 @@ def test_uniform_sampling_discriminator_dims():
     # equal-spacing invariance: only the first delta matters for uniform
     out2 = enc.apply(p, jnp.asarray([[10.0, 14.0, 18.0]]))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_activation_summary_rows():
+    """Per-module output shapes from an abstract dummy forward (the
+    reference's print_module_summary pass, misc.py:193-272): no compute,
+    real shapes for every submodule."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_v_tpu.models import Generator
+    from stylegan_v_tpu.utils.summary import activation_summary_rows
+
+    cfg = small_gen_cfg(img_resolution=16, channel_base=512)
+    G = Generator(cfg)
+    z = jnp.zeros((1, cfg.z_dim))
+    t = jnp.zeros((1, 2))
+    rngs = {"params": jax.random.PRNGKey(0), "motion": jax.random.PRNGKey(1)}
+    variables = jax.eval_shape(
+        lambda: G.init(rngs, z, None, t, noise_mode="const"))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    rows = activation_summary_rows(
+        G, variables, z, None, t, noise_mode="const",
+        rngs={"motion": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)})
+    assert len(rows) > 5
+    names = [r["name"] for r in rows]
+    assert any("synthesis" in n for n in names)
+    # the root output is the full video batch [T, H, W, C]-shaped
+    assert any(r["shape"][-3:] == (16, 16, 3) for r in rows if r["shape"])

@@ -40,7 +40,7 @@ def test_two_process_four_device_cluster(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -72,3 +72,7 @@ def test_two_process_four_device_cluster(tmp_path):
     assert abs(r0["fvd_mesh"]) < 1.0
     assert r0["batch_sum"] == r1["batch_sum"]
     assert r0["consistency_ok"] and r1["consistency_ok"]
+    # rank-agreed abort: only process 1's abort_fn fired, yet BOTH processes
+    # exited at the same (early) tick — no one-sided exit, no deadlock
+    assert r0["abort_nimg"] == r1["abort_nimg"]
+    assert r0["abort_nimg"] <= 72, "abort did not stop the loop early"
