@@ -2,7 +2,11 @@
 plus achieved MFU and ADA-parity training-step throughput.
 
 Mirrors the reference's profile_model.py harness (warmup + timed iters,
-imgs/sec) on the flagship StyleGAN-V generator.  Prints ONE JSON line:
+imgs/sec). The headline measures the ACTUAL BASELINE FFS-256 generator
+(fmaps=0.5 / channel_base=16384, the reference auto spec at 256^2 —
+reference train.py:158,167); the larger fmaps=1.0 variant that r01/r02
+headlined is reported alongside under synthesis_fmaps10_*.  Prints ONE JSON
+line:
     {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
      "mfu": ..., "train_frames_per_sec": ..., "train_vs_v100": ...}
 
@@ -57,13 +61,18 @@ def _compiled_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def bench_synthesis():
+def bench_synthesis(channel_base: int = 16384):
+    """channel_base=16384 is the ACTUAL BASELINE FFS-256 generator (the
+    reference's auto spec at 256^2 uses fmaps=0.5, reference
+    train.py:158,167); 32768 (fmaps=1.0) is the larger flagship variant
+    reported alongside for continuity with BENCH_r01/r02."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from stylegan_v_tpu.models import Generator, GeneratorConfig
+    from stylegan_v_tpu.models.config import replace
 
-    cfg = GeneratorConfig()          # flagship FFS-256 (bf16 top resolutions)
+    cfg = replace(GeneratorConfig(), channel_base=channel_base)
     G = Generator(cfg)
 
     videos, frames = 32, 8           # 256 frames per batch (throughput-optimal)
@@ -201,14 +210,26 @@ def bench_train_step():
 
 def main():
     out = {}
-    frames_per_sec, mfu = bench_synthesis()
-    out["metric"] = "synthesis_throughput_256"
+    # headline: the ACTUAL BASELINE FFS-256 generator (fmaps=0.5 — the
+    # reference's auto spec at 256^2, train.py:158,167; VERDICT r2 task 8)
+    frames_per_sec, mfu = bench_synthesis(channel_base=16384)
+    out["metric"] = "synthesis_throughput_256_ffs"
     out["value"] = round(frames_per_sec, 2)
     out["unit"] = "frames/sec/chip"
+    out["model"] = "FFS-256 auto spec (fmaps=0.5, channel_base=16384)"
     out["vs_baseline"] = round(
         frames_per_sec / (TARGET_MULTIPLIER * V100_REF_FRAMES_PER_SEC), 3)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    # the larger fmaps=1.0 variant, labeled, for continuity with r01/r02
+    # (whose "synthesis_throughput_256" measured THIS model)
+    try:
+        fps10, mfu10 = bench_synthesis(channel_base=32768)
+        out["synthesis_fmaps10_frames_per_sec"] = round(fps10, 2)
+        if mfu10 is not None:
+            out["synthesis_fmaps10_mfu"] = round(mfu10, 4)
+    except Exception as e:
+        out["synthesis_fmaps10_error"] = repr(e)[:200]
 
     if os.environ.get("SGV_BENCH_TRAIN", "1") != "0":
         try:
