@@ -34,11 +34,23 @@ ops/grid_sample.py.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 SCALE_MAX = 4.0     # |per-axis scale| clamp (ADA 3-sigma scale*aniso < 2.4)
 SHEAR_MAX = 2.0     # |shear slope| clamp after the rot90 conditioning
+
+# Stage executors, A/B-selectable for benchmarking (scripts/
+# bench_shear_stages.py). Defaults are the on-chip v5e winners (docs/PERF.md
+# round-3 table): the one-hot-matmul resample halves stage-1 fwd+bwd (the
+# VJP becomes a transposed matmul instead of a scatter-add), and the
+# grouped-slice+residual-FIR shift cuts stage-2 fwd+bwd ~1.6x (4 coarse
+# dynamic slices per group + a dense bounded-window select instead of
+# per-line gathers).
+STAGE1_IMPL = os.environ.get("SGV_SHEAR_STAGE1", "onehot")   # onehot | gather
+STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "grouped")  # grouped | slice
 
 
 def _reflect_pad_len(L: int) -> int:
@@ -75,6 +87,37 @@ def _line_pass(x: jax.Array, shift: jax.Array, scale: jax.Array,
     return g0 * (1 - f) + g1 * f
 
 
+def _line_pass_onehot(x: jax.Array, shift: jax.Array, scale: jax.Array,
+                      out_len: int) -> jax.Array:
+    """MXU formulation of `_line_pass`: the shared-scale 2-tap resample is a
+    banded row-mixing matrix S [out, L] (two nonzeros per row, mirror
+    indexing folded into the band positions), applied as one batched matmul
+    S @ x. Forward rides the MXU instead of row gathers, and the VJP is the
+    TRANSPOSED matmul instead of a scatter-add — measured 2.0x faster
+    fwd+bwd than take_along_axis at the production shape on v5e."""
+    B, L, R = x.shape
+    pos = scale[:, None] * jnp.arange(out_len, dtype=jnp.float32)[None, :] \
+        + shift[:, None]                                       # [B, out]
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    f = pos - i0.astype(jnp.float32)
+    i0m = _mirror_idx(i0, L)
+    i1m = _mirror_idx(i0 + 1, L)
+    rows = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    S = ((rows == i0m[:, :, None]) * (1.0 - f)[:, :, None]
+         + (rows == i1m[:, :, None]) * f[:, :, None])          # [B, out, L]
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jax.lax.dot_general(
+        S.astype(x.dtype), x, (((2,), (1,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _resample_lines(x, shift, scale, out_len):
+    impl = _line_pass_onehot if STAGE1_IMPL == "onehot" else _line_pass
+    return impl(x, shift, scale, out_len)
+
+
 def _integer_shift_lines(x: jax.Array, k: jax.Array, frac: jax.Array,
                          out_len: int) -> jax.Array:
     """Fractional per-line shift along the LAST-but-one axis.
@@ -91,6 +134,98 @@ def _integer_shift_lines(x: jax.Array, k: jax.Array, frac: jax.Array,
     sl = jax.vmap(jax.vmap(slice_one))(x, k)      # [B, N, out_len+1, C]
     f = frac[:, :, None, None].astype(x.dtype)    # keep the payload dtype
     return sl[:, :, :-1] * (1 - f) + sl[:, :, 1:] * f
+
+
+def _shift_lines_grouped_impl(x: jax.Array, k: jax.Array, frac: jax.Array,
+                              out_len: int, slope_bound: float,
+                              group: int = 4) -> jax.Array:
+    """EXACT reformulation of `_integer_shift_lines` with O(B*N/group)
+    gather work: per-line starts k vary (at most) linearly across lines with
+    |dk/dline| <= slope_bound (the shear slope after the static clamps), so
+    a GROUP of `group` adjacent lines shares one coarse dynamic slice at
+    k0 = min(k in group), and the bounded residual k - k0 <= rmax is applied
+    as a dense masked 2-tap select over the rmax+1-row window (pure VPU, no
+    per-line gathers). Zero-padding on the L axis keeps the coarse slice
+    in-bounds; padded rows are never selected because resid <= rmax by
+    construction. Measured 1.6x faster fwd+bwd than the per-line
+    dynamic-slice form at the production shape on v5e."""
+    B, N, L, C = x.shape
+    k = jnp.clip(k, 0, L - out_len - 1)
+    rmax = int(slope_bound) * (group - 1) + 2
+    Np = -(-N // group) * group
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0), (0, 0)))
+        # edge-pad k: a zero-padded line would drag the group min down and
+        # push real residuals past rmax
+        k = jnp.pad(k, ((0, 0), (0, Np - N)), mode="edge")
+        frac = jnp.pad(frac, ((0, 0), (0, Np - N)))
+    G = Np // group
+    kg = k.reshape(B, G, group)
+    k0 = kg.min(axis=2)                                   # [B, G]
+    resid = jnp.clip(kg - k0[:, :, None], 0, rmax)        # [B, G, group]
+    # pad L so the coarse slice (size out_len + rmax + 1) never clamps
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, rmax + 1), (0, 0)))
+    zg = xp.reshape(B, G, group, L + rmax + 1, C)
+
+    def coarse(lines, start):        # [group, Lp, C], scalar
+        return jax.lax.dynamic_slice(
+            lines, (0, start, 0), (group, out_len + rmax + 1, C))
+
+    zc = jax.vmap(jax.vmap(coarse))(zg, k0)   # [B, G, group, out+rmax+1, C]
+    f = frac.reshape(B, G, group)[..., None, None].astype(x.dtype)
+    out = jnp.zeros((B, G, group, out_len, C), x.dtype)
+    for j in range(rmax + 1):                 # static starts — no gathers
+        w = (resid == j).astype(x.dtype)[..., None, None]
+        sl = jax.lax.dynamic_slice_in_dim(zc, j, out_len + 1, axis=3)
+        out = out + w * (sl[:, :, :, :-1] * (1 - f) + sl[:, :, :, 1:] * f)
+    return out.reshape(B, Np, out_len, C)[:, :N]
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _shift_lines_grouped(x, k, frac, out_len, slope_bound):
+    """Grouped shift with a TRANSPOSED-SHIFT custom VJP.
+
+    The op is linear in x: out = A_k,f @ x with A a per-line 2-tap band, so
+    dx = A^T @ g — itself a per-line 2-tap band shift with start
+    (L-out-1 - k) and swapped taps (frac' = 1 - frac) on the zero-padded
+    cotangent. Autodiff of the forward instead accumulates rmax+1 full-size
+    dynamic-update-slices (measured 382 ms fwd+bwd at the production shape
+    vs 43 ms fwd); the transposed-shift backward is just one more grouped
+    shift. No gradient is propagated to k/frac — they derive from the ADA
+    transform draw, never from trained parameters (same effective dataflow
+    as the autodiff version, where dfrac dead-ends at RNG ops)."""
+    return _shift_lines_grouped_impl(x, k, frac, out_len, slope_bound)
+
+
+def _shift_lines_grouped_fwd(x, k, frac, out_len, slope_bound):
+    out = _shift_lines_grouped_impl(x, k, frac, out_len, slope_bound)
+    return out, (k, frac, x.shape[2])
+
+
+def _shift_lines_grouped_bwd(out_len, slope_bound, res, g):
+    k, frac, L = res
+    import numpy as np
+    pad = L - out_len
+    kc = jnp.clip(k, 0, L - out_len - 1)      # same clip as the forward
+    gpad = jnp.pad(g, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    dx = _shift_lines_grouped_impl(gpad, (pad - 1) - kc, 1.0 - frac, L,
+                                   slope_bound)
+    dk = np.zeros(k.shape, jax.dtypes.float0)
+    return dx, dk, jnp.zeros_like(frac)
+
+
+_shift_lines_grouped.defvjp(_shift_lines_grouped_fwd, _shift_lines_grouped_bwd)
+
+
+def _shift_lines(x, k, frac, out_len, slope_bound):
+    if STAGE2_IMPL == "grouped":
+        return _shift_lines_grouped(x, k, frac, out_len, slope_bound)
+    if STAGE2_IMPL == "grouped_ad":     # autodiff backward, for benchmarking
+        return _shift_lines_grouped_impl(x, k, frac, out_len, slope_bound)
+    return _integer_shift_lines(x, k, frac, out_len)
 
 
 def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
@@ -167,8 +302,8 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
 
     s_mid = e + Mv + c1 * (W - 1.0) / 2.0                       # [B]
     # stage 1: z[j] = src[d1*(j - J0) + s_mid]   (shared indices, mirrored)
-    zf = _line_pass(xp.reshape(B, Hp, W * C),
-                    shift=s_mid - d1 * J0, scale=d1, out_len=Lz)
+    zf = _resample_lines(xp.reshape(B, Hp, W * C),
+                         shift=s_mid - d1 * J0, scale=d1, out_len=Lz)
     z = zf.reshape(B, Lz, W, C)
 
     # stage 2: mid[y, x] = z[y + J0 + q_x, x],  q_x = c1*(x - (W-1)/2)/d1
@@ -179,7 +314,9 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     k = jnp.floor(pos).astype(jnp.int32)
     frac = pos - jnp.floor(pos)
     zt = jnp.swapaxes(z, 1, 2)                                  # [B, W, Lz, C]
-    mid = _integer_shift_lines(zt, k, frac, out_h)              # [B, W, out_h, C]
+    # pass-V shift slope |dq/dx| = |c1/d1| <= 1 * SCALE_MAX (conditioning
+    # guarantees |c1| <= 1; 1/|d1| floored at 1/SCALE_MAX)
+    mid = _shift_lines(zt, k, frac, out_h, slope_bound=SCALE_MAX)
     mid = jnp.swapaxes(mid, 1, 2)                               # [B, out_h, W, C]
 
     # ======================= PASS H (horizontal) ==========================
@@ -193,7 +330,7 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     r_mid = tx + Mh + b_h * (out_h - 1.0) / 2.0                 # [B]
     # stage 1 needs x as the indexed axis with shared idx: [B, Wp, out_h*C]
     mt = jnp.swapaxes(mp, 1, 2).reshape(B, Wp, out_h * C)
-    z2 = _line_pass(mt, shift=r_mid - a_h * J0h, scale=a_h, out_len=Lz2)
+    z2 = _resample_lines(mt, shift=r_mid - a_h * J0h, scale=a_h, out_len=Lz2)
     z2 = jnp.swapaxes(z2.reshape(B, Lz2, out_h, C), 1, 2)       # [B, out_h, Lz2, C]
 
     rows = jnp.arange(out_h, dtype=jnp.float32)[None, :]        # [1, out_h]
@@ -202,5 +339,7 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     pos2 = q2 + J0h
     k2 = jnp.floor(pos2).astype(jnp.int32)
     frac2 = pos2 - jnp.floor(pos2)
-    out = _integer_shift_lines(z2, k2, frac2, out_w)            # [B, out_h, out_w, C]
+    # pass-H shift slope |dq2/dy| = |b_h/a_h| <= SHEAR_MAX * SCALE_MAX
+    out = _shift_lines(z2, k2, frac2, out_w,
+                       slope_bound=SHEAR_MAX * SCALE_MAX)
     return out.astype(dtype)

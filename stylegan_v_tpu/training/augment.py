@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Tuple
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,15 +97,13 @@ class AugmentConfig:
     warp_upsample: int = 2
     # warp executor for the AA pipeline:
     #   "auto"   (default) — shear where validated on the TPU backend
-    #            (SHEAR_TPU_VALIDATED_RES allowlist; always shear on CPU),
-    #            gather elsewhere. The shear program kernel-faults on v5e
-    #            at SOME canvas sizes (64^2 reproducibly, with or without
-    #            optimization barriers / chunking) — a Mosaic shape-specific
-    #            miscompile, so unvalidated sizes stay on the gather path.
-    #   "shear"  — force the two-pass shear/scale decomposition (per-line
-    #            slice gathers + dense lerps; the per-pixel gather is
-    #            index-count bound on TPU — 218 ms of a 244 ms AA warp at
-    #            B=16 C=9 256^2 on v5e vs ~13 ms for the shear passes).
+    #            (SHEAR_TPU_VALIDATED_RES allowlist, incl. 64 since the
+    #            round-3 executors; always shear on CPU), gather elsewhere.
+    #   "shear"  — force the two-pass shear/scale decomposition. Round 3
+    #            executes each pass as a one-hot-matmul resample (MXU) +
+    #            grouped per-line shift with a transposed-shift custom VJP:
+    #            43 ms fwd / 107 ms fwd+bwd at B=16 C=9 256^2 on v5e vs
+    #            239/1014 ms for the per-pixel gather (docs/PERF.md).
     #   "gather" — force the single bilinear gather (geometry reference).
     warp_mode: str = "auto"
     # geometric-stage payload dtype: "auto" = bfloat16 on TPU (the resample
@@ -223,12 +222,14 @@ def _build_fbank() -> np.ndarray:
 
 
 # Image resolutions whose AA-warp canvases are validated fault-free for the
-# shear executor on the v5e TPU backend. The Mosaic miscompile is
-# canvas-size specific: 64^2 kernel-faults reproducibly (chunked or not,
-# with or without optimization barriers) while 32/128/256/512/1024 all pass
-# on-chip (and 256^2 ran the full 62 f/s training soak). Extend only with
-# on-chip evidence; "auto" falls back to gather elsewhere.
-SHEAR_TPU_VALIDATED_RES = frozenset({32, 128, 256, 512, 1024})
+# shear executor on the v5e TPU backend (scripts/validate_shear_onchip.py:
+# fwd + grad finite, >28 dB PSNR vs the fp32 gather executor). Round 2's
+# per-line dynamic-slice executor hit a canvas-size-specific Mosaic
+# miscompile at 64^2; the round-3 stage executors (one-hot-matmul resample +
+# grouped shift with transposed-shift VJP) no longer emit that lowering and
+# 32/64/128/256/512 ALL pass on-chip — 64 is back on the allowlist. Extend
+# only with on-chip evidence; "auto" falls back to gather elsewhere.
+SHEAR_TPU_VALIDATED_RES = frozenset({32, 64, 128, 256, 512, 1024})
 
 
 def _resolve_geom_dtype(geom_dtype: str):
@@ -281,13 +282,14 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
                            padding=-Hz_pad * 2, flip_filter=True)
         return x_c.astype(in_dtype)
 
-    if warp_mode == "gather":
+    if warp_mode == "gather" or os.environ.get("SGV_SHEAR_REMAT"):
         # remat: the gather path's saved residuals (per-pixel 4C-packed
         # neighborhoods + 4.4M scatter indices on the 2x canvas) are ~100x
         # the image; recompute them in the backward. The shear path's
         # per-line residuals are small, so it skips remat (measured
         # speed-neutral at the production shape, but keeps peak HBM bounded
-        # by residency rather than recompute policy).
+        # by residency rather than recompute policy); SGV_SHEAR_REMAT=1
+        # forces it for A/B benchmarking.
         warp_chunk = jax.checkpoint(warp_chunk)
 
     # Small PER-SHARD chunks keep the shear path fast (76-85 ms at chunk 1-4

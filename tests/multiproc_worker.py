@@ -115,9 +115,8 @@ def main():
     setup = TrainSetup(
         run_dir=os.path.join(os.path.dirname(ds_path), f"abort_run_{pid}"),
         desc="abort",
-        gen_cfg=small_gen_cfg(img_resolution=16, channel_base=512),
-        disc_cfg=small_disc_cfg(img_resolution=16, channel_base=512,
-                                concat_res=4),
+        gen_cfg=small_gen_cfg(img_resolution=16),
+        disc_cfg=small_disc_cfg(img_resolution=16),
         loss_cfg=LossConfig(r1_gamma=0.5, pl_weight=0.0),
         train_cfg=TrainingConfig(batch_size=8, ema_kimg=0.5, ada_target=0.6),
         opt_g=OptimizerConfig(lr=0.002), opt_d=OptimizerConfig(lr=0.002),

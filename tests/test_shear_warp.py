@@ -138,3 +138,76 @@ def test_augment_pipe_shear_mode_runs():
     x = jnp.asarray(np.random.RandomState(2).randn(4, 32, 32, 9).astype(np.float32))
     y = pipe(jax.random.PRNGKey(0), x, 0.7)
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_stage_impl_equivalence():
+    """The MXU one-hot resample and the grouped shift must reproduce their
+    gather/per-line-slice counterparts (f32: to accumulation-order rounding;
+    the grouped shift is EXACT by construction — resid <= rmax)."""
+    from stylegan_v_tpu.ops.shear_warp import (
+        _line_pass, _line_pass_onehot, _integer_shift_lines,
+        _shift_lines_grouped)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(3, 57, 40).astype(np.float32))
+    shift = jnp.asarray(rng.uniform(-10, 60, 3).astype(np.float32))
+    scale = jnp.asarray([0.7, -1.3, 1.0], jnp.float32)
+    a = np.asarray(_line_pass(x, shift, scale, 33))
+    b = np.asarray(_line_pass_onehot(x, shift, scale, 33))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-5)
+
+    zt = jnp.asarray(rng.randn(2, 23, 61, 3).astype(np.float32))
+    # k linear in line index with slope <= 4 (the pass-V contract), plus
+    # boundary clipping
+    lines = np.arange(23)
+    k = np.clip(5 + (3.7 * lines).astype(int), 0, 61 - 30 - 1)
+    k = jnp.asarray(np.stack([k, k[::-1]]), jnp.int32)
+    frac = jnp.asarray(rng.rand(2, 23).astype(np.float32))
+    want = np.asarray(_integer_shift_lines(zt, k, frac, 30))
+    got = np.asarray(_shift_lines_grouped(zt, k, frac, 30, slope_bound=4.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grouped_shift_custom_vjp_matches_autodiff():
+    """The grouped shift's transposed-shift backward must equal the autodiff
+    gradient of the per-line-slice implementation (the op is linear, so the
+    cotangent is exact, not approximate), including 2nd order (R1
+    differentiates through the augment pipe twice)."""
+    from stylegan_v_tpu.ops.shear_warp import (
+        _integer_shift_lines, _shift_lines_grouped)
+    rng = np.random.RandomState(11)
+    B, N, L, C, out = 2, 12, 41, 3, 20
+    x = jnp.asarray(rng.randn(B, N, L, C).astype(np.float32))
+    lines = np.arange(N)
+    k = np.clip(3 + (2.6 * lines).astype(int), 0, L - out - 1)
+    k = jnp.asarray(np.stack([k, k[::-1]]), jnp.int32)
+    frac = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, N, out, C).astype(np.float32))
+
+    def loss_ref(x_):
+        return jnp.sum(w * _integer_shift_lines(x_, k, frac, out))
+
+    def loss_new(x_):
+        return jnp.sum(w * _shift_lines_grouped(x_, k, frac, out, 4.0))
+
+    np.testing.assert_allclose(float(loss_new(x)), float(loss_ref(x)),
+                               rtol=1e-6)
+    g_ref = np.asarray(jax.grad(loss_ref)(x))
+    g_new = np.asarray(jax.grad(loss_new)(x))
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-5, atol=1e-6)
+
+    # second order: hessian-vector product through the custom bwd
+    v = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    def sq(x_):
+        g = jax.grad(lambda y: jnp.sum(
+            jnp.square(_shift_lines_grouped(y, k, frac, out, 4.0))))(x_)
+        return jnp.sum(g * v)
+
+    def sq_ref(x_):
+        g = jax.grad(lambda y: jnp.sum(
+            jnp.square(_integer_shift_lines(y, k, frac, out))))(x_)
+        return jnp.sum(g * v)
+
+    h_new = np.asarray(jax.grad(sq)(x))
+    h_ref = np.asarray(jax.grad(sq_ref)(x))
+    np.testing.assert_allclose(h_new, h_ref, rtol=1e-5, atol=1e-6)
