@@ -73,11 +73,16 @@ def main():
     # forward with autodiff backward (the measured 382-431 ms regression);
     # slice/gather = the round-2 executors. Remat measured cost-neutral on
     # every config (158.0->158.9, 206.8->206.5), so it is not swept here.
-    configs = [("onehot", "grouped"), ("onehot", "grouped_ad"),
-               ("onehot", "slice"), ("gather", "slice")]
-    for s1, s2 in configs:
+    # sel sweeps the residual-shift executor: barrel = log2 two-way selects,
+    # loop = dense masked accumulate over rmax+1 positions.
+    configs = [("onehot", "grouped", "barrel"),
+               ("onehot", "grouped", "loop"),
+               ("onehot", "slice", "-"), ("gather", "slice", "-")]
+    for s1, s2, sel in configs:
         sw.STAGE1_IMPL, sw.STAGE2_IMPL = s1, s2
-        tag = f"s1={s1} s2={s2}"
+        if sel != "-":
+            sw.STAGE2_SELECT = sel
+        tag = f"s1={s1} s2={s2} sel={sel}"
         bench(warp, x, 8, f"warp fwd  {tag}")
         bench(warp_grad, x, 4, f"warp f+b  {tag}")
 

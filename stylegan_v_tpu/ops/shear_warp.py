@@ -51,6 +51,11 @@ SHEAR_MAX = 2.0     # |shear slope| clamp after the rot90 conditioning
 # per-line gathers).
 STAGE1_IMPL = os.environ.get("SGV_SHEAR_STAGE1", "onehot")   # onehot | gather
 STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "grouped")  # grouped | slice
+# residual-shift executor inside the grouped stage-2: "barrel" resolves the
+# bounded residual in ceil(log2(rmax+1)) two-way select passes (a barrel
+# shifter over the coarse window); "loop" is the round-3 dense
+# masked-accumulate over all rmax+1 positions (rmax+1 full-tensor passes).
+STAGE2_SELECT = os.environ.get("SGV_SHEAR_SELECT", "barrel")  # barrel | loop
 
 
 def _reflect_pad_len(L: int) -> int:
@@ -163,21 +168,42 @@ def _shift_lines_grouped_impl(x: jax.Array, k: jax.Array, frac: jax.Array,
     kg = k.reshape(B, G, group)
     k0 = kg.min(axis=2)                                   # [B, G]
     resid = jnp.clip(kg - k0[:, :, None], 0, rmax)        # [B, G, group]
-    # pad L so the coarse slice (size out_len + rmax + 1) never clamps
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, rmax + 1), (0, 0)))
-    zg = xp.reshape(B, G, group, L + rmax + 1, C)
+    # window margin: the barrel shifter needs the next power of two so every
+    # bit-level slice stays statically in-bounds (rpad >= rmax; padded rows
+    # are zeros and never reachable since resid <= rmax)
+    rpad = (1 << rmax.bit_length()) - 1 if STAGE2_SELECT == "barrel" else rmax
+    # pad L so the coarse slice (size out_len + rpad + 1) never clamps
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, rpad + 1), (0, 0)))
+    zg = xp.reshape(B, G, group, L + rpad + 1, C)
 
     def coarse(lines, start):        # [group, Lp, C], scalar
         return jax.lax.dynamic_slice(
-            lines, (0, start, 0), (group, out_len + rmax + 1, C))
+            lines, (0, start, 0), (group, out_len + rpad + 1, C))
 
-    zc = jax.vmap(jax.vmap(coarse))(zg, k0)   # [B, G, group, out+rmax+1, C]
+    zc = jax.vmap(jax.vmap(coarse))(zg, k0)   # [B, G, group, out+rpad+1, C]
     f = frac.reshape(B, G, group)[..., None, None].astype(x.dtype)
-    out = jnp.zeros((B, G, group, out_len, C), x.dtype)
-    for j in range(rmax + 1):                 # static starts — no gathers
-        w = (resid == j).astype(x.dtype)[..., None, None]
-        sl = jax.lax.dynamic_slice_in_dim(zc, j, out_len + 1, axis=3)
-        out = out + w * (sl[:, :, :, :-1] * (1 - f) + sl[:, :, :, 1:] * f)
+    if STAGE2_SELECT == "barrel":
+        # resolve resid bit by bit, high to low: at bit j the window either
+        # drops its first 2^j rows or keeps its head, then shrinks to
+        # out_len + 2^j rows — ceil(log2(rmax+1)) two-way selects instead of
+        # rmax+1 masked accumulations. Window length before bit j is exactly
+        # out_len + 2^(j+1), so both slices are statically in-bounds.
+        cur = zc
+        for j in reversed(range(rmax.bit_length())):
+            step = 1 << j
+            newlen = out_len + step
+            bit = (resid & step) != 0                     # [B, G, group]
+            hi = jax.lax.slice_in_dim(cur, step, step + newlen, axis=3)
+            lo = jax.lax.slice_in_dim(cur, 0, newlen, axis=3)
+            cur = jnp.where(bit[..., None, None], hi, lo)
+        out = cur[:, :, :, :-1] * (1 - f) + cur[:, :, :, 1:] * f
+    else:
+        out = jnp.zeros((B, G, group, out_len, C), x.dtype)
+        for j in range(rmax + 1):             # static starts — no gathers
+            w = (resid == j).astype(x.dtype)[..., None, None]
+            sl = jax.lax.dynamic_slice_in_dim(zc, j, out_len + 1, axis=3)
+            out = out + w * (sl[:, :, :, :-1] * (1 - f)
+                             + sl[:, :, :, 1:] * f)
     return out.reshape(B, Np, out_len, C)[:, :N]
 
 

@@ -140,13 +140,17 @@ def test_augment_pipe_shear_mode_runs():
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
 
 
-def test_stage_impl_equivalence():
+@pytest.mark.parametrize("select", ["barrel", "loop"])
+def test_stage_impl_equivalence(select, monkeypatch):
     """The MXU one-hot resample and the grouped shift must reproduce their
     gather/per-line-slice counterparts (f32: to accumulation-order rounding;
-    the grouped shift is EXACT by construction — resid <= rmax)."""
+    the grouped shift is EXACT by construction — resid <= rmax), under BOTH
+    residual-select executors (log2 barrel shifter and dense masked loop)."""
+    import stylegan_v_tpu.ops.shear_warp as sw
     from stylegan_v_tpu.ops.shear_warp import (
         _line_pass, _line_pass_onehot, _integer_shift_lines,
         _shift_lines_grouped)
+    monkeypatch.setattr(sw, "STAGE2_SELECT", select)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(3, 57, 40).astype(np.float32))
     shift = jnp.asarray(rng.uniform(-10, 60, 3).astype(np.float32))
