@@ -34,8 +34,8 @@ def main():
     Hz = setup_filter(_SYM6)
     rng = np.random.RandomState(0)
     ok_all = []
-    for res in (32, 64, 128, 256, 512):
-        B = 4 if res <= 256 else 2
+    for res in (32, 64, 128, 256, 512, 1024):
+        B = 4 if res <= 256 else (2 if res <= 512 else 1)
         x = jnp.asarray(rng.randn(B, res, res, 9).astype(np.float32))
         th = jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32))
         G = rotate2d(th) @ scale2d(

@@ -448,7 +448,10 @@ def compute_feature_stats_for_dataset(
             os.path.expanduser("~"), ".cache", "stylegan_v_tpu", "metric-stats")
         extra = dict(max_items=max_items, temporal=temporal_detector,
                      image=use_image_dataset,
-                     backend=_detector_backend_tag(detector_name))
+                     backend=_detector_backend_tag(detector_name),
+                     # preprocessing kwargs change the features (e.g. I3D
+                     # rescale/resize) — they must invalidate the cache
+                     detector_kwargs=repr(sorted(detector_kwargs.items())))
         if partial_stats:
             extra.update(num_replicas=opts.num_replicas, replica=opts.replica)
         tag = _cache_tag(opts, dataset_kwargs, detector_name, stats_kwargs,
@@ -458,15 +461,21 @@ def compute_feature_stats_for_dataset(
         if multi_process:
             # all processes must agree on the cache decision (the reference's
             # rank-0 flag broadcast, metric_utils.py:211-215); shared FS.
+            # Every rank sees the same allgathered flags, so a visibility
+            # mismatch raises on EVERY rank together — raising only on the
+            # ranks missing the file would let rank 0 proceed into the next
+            # collective alone and deadlock the job.
             from jax.experimental import multihost_utils as mh
-            hit = bool(np.asarray(mh.process_allgather(
-                np.asarray([int(hit)], np.int32)))[0, 0])
-            if hit and not os.path.isfile(cache_file):
+            flags = np.asarray(mh.process_allgather(
+                np.asarray([int(hit)], np.int32))).reshape(-1)
+            hit = bool(flags[0])
+            if hit and not flags.all():
+                missing = np.nonzero(flags == 0)[0].tolist()
                 raise RuntimeError(
                     f"metric stats cache hit on process 0 but {cache_file} is "
-                    f"not visible on process {jax.process_index()} — the "
-                    f"cache dir must live on a filesystem shared by all "
-                    f"hosts (set cache_dir / --cache-dir accordingly)")
+                    f"not visible on process(es) {missing} — the cache dir "
+                    f"must live on a filesystem shared by all hosts (set "
+                    f"cache_dir / --cache-dir accordingly)")
         if hit:
             return feature_stats_cls.load(cache_file)
 

@@ -220,27 +220,37 @@ def _shift_lines_grouped(x, k, frac, out_len, slope_bound):
     cotangent. Autodiff of the forward instead accumulates rmax+1 full-size
     dynamic-update-slices (measured 382 ms fwd+bwd at the production shape
     vs 43 ms fwd); the transposed-shift backward is just one more grouped
-    shift. No gradient is propagated to k/frac — they derive from the ADA
-    transform draw, never from trained parameters (same effective dataflow
-    as the autodiff version, where dfrac dead-ends at RNG ops)."""
+    shift. dfrac is the true derivative (the shifted window of the first
+    difference of x — one more grouped shift, DCE'd by XLA whenever frac's
+    cotangent is unused, as in training where frac derives from the ADA
+    RNG draw); k is integer-valued (float0)."""
     return _shift_lines_grouped_impl(x, k, frac, out_len, slope_bound)
 
 
 def _shift_lines_grouped_fwd(x, k, frac, out_len, slope_bound):
     out = _shift_lines_grouped_impl(x, k, frac, out_len, slope_bound)
-    return out, (k, frac, x.shape[2])
+    return out, (x, k, frac)
 
 
 def _shift_lines_grouped_bwd(out_len, slope_bound, res, g):
-    k, frac, L = res
+    x, k, frac = res
     import numpy as np
+    L = x.shape[2]
     pad = L - out_len
     kc = jnp.clip(k, 0, L - out_len - 1)      # same clip as the forward
     gpad = jnp.pad(g, ((0, 0), (0, 0), (pad, pad), (0, 0)))
     dx = _shift_lines_grouped_impl(gpad, (pad - 1) - kc, 1.0 - frac, L,
                                    slope_bound)
+    # d out / d frac = sl[1:] - sl[:-1] = Δx[k : k+out] (Δx = first diff
+    # along the shifted axis): a frac=0 grouped shift of Δx, contracted
+    # against the cotangent
+    dxd = jnp.pad(jnp.diff(x, axis=2), ((0, 0), (0, 0), (0, 1), (0, 0)))
+    win = _shift_lines_grouped_impl(dxd, kc, jnp.zeros_like(frac), out_len,
+                                    slope_bound)
+    dfrac = jnp.sum((g * win).astype(jnp.float32), axis=(2, 3)).astype(
+        frac.dtype)
     dk = np.zeros(k.shape, jax.dtypes.float0)
-    return dx, dk, jnp.zeros_like(frac)
+    return dx, dk, dfrac
 
 
 _shift_lines_grouped.defvjp(_shift_lines_grouped_fwd, _shift_lines_grouped_bwd)

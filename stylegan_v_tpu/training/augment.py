@@ -227,7 +227,8 @@ def _build_fbank() -> np.ndarray:
 # per-line dynamic-slice executor hit a canvas-size-specific Mosaic
 # miscompile at 64^2; the round-3 stage executors (one-hot-matmul resample +
 # grouped shift with transposed-shift VJP) no longer emit that lowering and
-# 32/64/128/256/512 ALL pass on-chip — 64 is back on the allowlist. Extend
+# 32/64/128/256/512/1024 ALL pass on-chip (barrel select, fwd + grad, v5e)
+# — 64 is back on the allowlist and 1024 is validated, not assumed. Extend
 # only with on-chip evidence; "auto" falls back to gather elsewhere.
 SHEAR_TPU_VALIDATED_RES = frozenset({32, 64, 128, 256, 512, 1024})
 
@@ -282,7 +283,8 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
                            padding=-Hz_pad * 2, flip_filter=True)
         return x_c.astype(in_dtype)
 
-    if warp_mode == "gather" or os.environ.get("SGV_SHEAR_REMAT"):
+    if warp_mode == "gather" or os.environ.get("SGV_SHEAR_REMAT",
+                                               "") not in ("", "0"):
         # remat: the gather path's saved residuals (per-pixel 4C-packed
         # neighborhoods + 4.4M scatter indices on the 2x canvas) are ~100x
         # the image; recompute them in the backward. The shear path's
@@ -301,10 +303,11 @@ def _warp_antialiased(images, G_inv, Hz_geom, Hz_pad, warp_mode="auto",
     # shards (no device serialization under a mesh).
     per_shard = max(1, B // max(1, data_shards))
     target = max(1, min(B, (per_shard + 3) // 4))
-    # largest chunk count <= target that divides B — never silently fall
-    # back to one unchunked call (measured ~1453 ms + unbounded peak HBM at
-    # production shapes) just because B has no divisor at exactly `target`
-    n_chunks = next(n for n in range(target, 0, -1) if B % n == 0)
+    # smallest chunk count >= target that divides B — more, smaller chunks
+    # keep peak HBM bounded; searching downward could land on n_chunks=1
+    # (the measured ~1453 ms unchunked call with unbounded peak HBM at
+    # production shapes) whenever B is prime or has no divisor near target
+    n_chunks = next(n for n in range(target, B + 1) if B % n == 0)
     if n_chunks > 1:
         chunk = B // n_chunks
         xs = images.reshape(n_chunks, chunk, H, W, C)
