@@ -223,6 +223,7 @@ def setup_training(cfg: EasyDict, dataset_resolution: int, dataset_c_dim: int,
         G_reg_interval=4 if loss_cfg.pl_weight > 0 else None,
         D_reg_interval=16 if loss_cfg.r1_gamma > 0 else None,
         ada_target=ada_target,
+        zero1=bool(t.get("zero1", False)),
     )
 
     opt = cfg.model.get("optim", {}) or {}

@@ -156,7 +156,17 @@ def training_loop(setup: TrainSetup,
     dp = _math.gcd(setup.train_cfg.batch_size, n_dev)
     mesh = create_mesh(devices=jax.devices()[:dp], frame=1)
     log(f"Device mesh: {dict(mesh.shape)} (of {n_dev} devices)")
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state_sharding = None
+    if setup.train_cfg.zero1 and dp > 1:
+        # ZeRO-1: Adam moments partitioned across 'data' (parallel/zero.py)
+        from ..parallel import opt_state_bytes_per_device, zero1_state_sharding
+        state_sharding = zero1_state_sharding(mesh, state)
+        state = jax.device_put(state, state_sharding)
+        log(f"ZeRO-1 optimizer sharding: "
+            f"{opt_state_bytes_per_device(state) / 1e6:.1f} MB/device "
+            f"of optimizer state (vs replicated x{dp})")
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
 
     # ---- augmentation + train step ---------------------------------------
     # the augment pipe derives its warp chunking from the per-shard batch
@@ -165,7 +175,8 @@ def training_loop(setup: TrainSetup,
                   if setup.augment_cfg is not None else None)
     step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
                               setup.train_cfg, augment_fn=augment_fn, donate=False,
-                              d_lr_scales=d_lr_scales)
+                              d_lr_scales=d_lr_scales,
+                              state_sharding=state_sharding)
 
     # ---- visualization state (reference training_loop.py:272-299) --------
     grid_reals, grid_labels = setup_snapshot_image_grid(dataset, setup.seed)

@@ -54,6 +54,9 @@ class TrainingConfig:
     ada_interval: int = 4
     ada_kimg: float = 500.0
     grad_clip_value: float = 1e5          # nan_to_num posinf bound (misc.py:46-56)
+    # ZeRO-1: partition Adam moments across the mesh 'data' axis (see
+    # parallel/zero.py). No reference counterpart — DDP replicates all state.
+    zero1: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -156,9 +159,15 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
                     opt_g_cfg: OptimizerConfig, opt_d_cfg: OptimizerConfig,
                     tcfg: TrainingConfig, augment_fn: Optional[Callable] = None,
                     donate: bool = True,
-                    d_lr_scales: Optional[Dict[str, float]] = None):
+                    d_lr_scales: Optional[Dict[str, float]] = None,
+                    state_sharding=None):
     """Returns train_step(state, batch, rng, do_gpl, do_dr1) with the two
     booleans static (compiles up to 4 cached variants).
+
+    state_sharding: optional sharding pytree (TrainState structure) pinned
+    as the OUTPUT state sharding — required for ZeRO-1 so the updated
+    moments stay partitioned step over step instead of drifting to whatever
+    layout sharding propagation picks (parallel/zero.py).
 
     batch dict (host-prepared, [B, ...] global shapes):
       real_img: [B, F, H, W, C] uint8 (normalized on device: saves 4x PCIe)
@@ -217,8 +226,16 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         stats = {k: v / rounds for k, v in ssum.items()}
         return grads, stats, carry
 
+    jit_kwargs = {}
+    if state_sharding is not None:
+        # stats are scalars -> replicated; prefix-match the whole dict
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(jax.tree_util.tree_leaves(state_sharding)[0].mesh,
+                            PartitionSpec())
+        jit_kwargs["out_shardings"] = (state_sharding, rep)
+
     @partial(jax.jit, static_argnames=("do_gpl", "do_dr1"),
-             donate_argnums=(0,) if donate else ())
+             donate_argnums=(0,) if donate else (), **jit_kwargs)
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
                    do_gpl: bool = False, do_dr1: bool = False):
         stats: Dict[str, jax.Array] = {}
