@@ -133,3 +133,29 @@ def test_loop_in_training_metrics(tmp_path):
 def dataclasses_replace_snap(setup):
     setup.snap_ticks = 1
     return setup
+
+
+@pytest.mark.slow
+def test_loop_zero1_and_resume(tmp_path):
+    """training.zero1 through the REAL loop: ZeRO-1 placement on the
+    8-device mesh (batch 8 -> dp=8), snapshotting of the sharded state,
+    and a resume that re-shards the restored state. Covers the loop's
+    zero1 branch end-to-end, not just the step-level unit test."""
+    import dataclasses
+    setup = tiny_setup(tmp_path, "run_z1")
+    setup = dataclasses.replace(
+        setup,
+        train_cfg=dataclasses.replace(setup.train_cfg, batch_size=8,
+                                      zero1=True))
+    logs = []
+    result = training_loop(setup, log=logs.append)
+    assert result["cur_nimg"] >= 48
+    assert any("ZeRO-1" in str(l) for l in logs), logs[:8]
+    run = tmp_path / "run_z1"
+    snaps = [f for f in os.listdir(run) if f.startswith("network-snapshot-")
+             and not f.endswith(".json")]
+    assert snaps, os.listdir(run)
+
+    setup2 = dataclasses.replace(setup, total_kimg=0.1, resume="latest")
+    result2 = training_loop(setup2, log=logs.append)
+    assert result2["cur_nimg"] > result["cur_nimg"]
