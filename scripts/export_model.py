@@ -44,12 +44,11 @@ def build_export(G, variables, batch: int, video_len: int, truncation: float,
     from jax import export as jexport
 
     cfg = G.cfg
-    assert cfg.c_dim == 0, \
-        "conditional export not supported yet — pass an unconditional ckpt"
+    cond = cfg.c_dim > 0
 
-    def sample(z, t, seed):
+    def synth(z, c, t, seed):
         key = jax.random.PRNGKey(seed)
-        img = G.apply(variables, z, None, t, noise_mode="const",
+        img = G.apply(variables, z, c, t, noise_mode="const",
                       truncation_psi=truncation, rngs={"motion": key})
         # [B*T, H, W, C] -> [B, T, H, W, C]
         return img.reshape(z.shape[0], t.shape[1], *img.shape[1:])
@@ -57,8 +56,16 @@ def build_export(G, variables, batch: int, video_len: int, truncation: float,
     z_spec = jax.ShapeDtypeStruct((batch, cfg.z_dim), jnp.float32)
     t_spec = jax.ShapeDtypeStruct((batch, video_len), jnp.float32)
     s_spec = jax.ShapeDtypeStruct((), jnp.int32)
-    exported = jexport.export(jax.jit(sample), platforms=platforms)(
-        z_spec, t_spec, s_spec)
+    if cond:
+        # conditional: one-hot (or soft) labels are a served input
+        c_spec = jax.ShapeDtypeStruct((batch, cfg.c_dim), jnp.float32)
+        fn = jax.jit(synth)
+        exported = jexport.export(fn, platforms=platforms)(
+            z_spec, c_spec, t_spec, s_spec)
+    else:
+        fn = jax.jit(lambda z, t, seed: synth(z, None, t, seed))
+        exported = jexport.export(fn, platforms=platforms)(
+            z_spec, t_spec, s_spec)
     return exported
 
 
@@ -97,8 +104,12 @@ def main():
     with open(args.out, "wb") as f:
         f.write(blob)
     meta = {
-        "inputs": {"z": [args.batch, G.cfg.z_dim],
-                   "t": [args.batch, args.video_len], "seed": []},
+        "inputs": ({"z": [args.batch, G.cfg.z_dim],
+                    "c": [args.batch, G.cfg.c_dim],
+                    "t": [args.batch, args.video_len], "seed": []}
+                   if G.cfg.c_dim > 0 else
+                   {"z": [args.batch, G.cfg.z_dim],
+                    "t": [args.batch, args.video_len], "seed": []}),
         "output": [args.batch, args.video_len, G.cfg.img_resolution,
                    G.cfg.img_resolution, 3],
         "range": [-1.0, 1.0],
@@ -120,9 +131,15 @@ def main():
         t = jnp.tile(jnp.arange(args.video_len, dtype=jnp.float32)[None],
                      (args.batch, 1))
         seed = jnp.asarray(7, jnp.int32)
-        got = np.asarray(jax.jit(loaded.call)(z, t, seed))
+        if G.cfg.c_dim > 0:
+            c = jnp.zeros((args.batch, G.cfg.c_dim), jnp.float32)
+            c = c.at[:, 0].set(1.0)
+            got = np.asarray(jax.jit(loaded.call)(z, c, t, seed))
+        else:
+            c = None
+            got = np.asarray(jax.jit(loaded.call)(z, t, seed))
         key = jax.random.PRNGKey(7)
-        want = G.apply(variables, z, None, t, noise_mode="const",
+        want = G.apply(variables, z, c, t, noise_mode="const",
                        truncation_psi=args.truncation, rngs={"motion": key})
         want = np.asarray(want).reshape(got.shape)
         err = np.abs(got - want).max()

@@ -58,3 +58,28 @@ def test_export_roundtrip(run_dir, tmp_path, monkeypatch):
     # different seeds give different motion
     frames2 = np.asarray(jax.jit(loaded.call)(z, t, np.int32(5)))
     assert np.abs(frames - frames2).max() > 1e-4
+
+
+def test_export_conditional(tmp_path, monkeypatch):
+    """c_dim > 0: the label one-hot becomes a served input and the artifact
+    signature/metadata reflect it."""
+    from stylegan_v_tpu.models.config import replace as cfg_replace
+    gcfg = small_gen_cfg(c_dim=5)
+    dcfg = small_disc_cfg(c_dim=5)
+    d = str(tmp_path / "cond_run")
+    G, D = Generator(gcfg), Discriminator(dcfg)
+    state = init_train_state(jax.random.PRNGKey(0), G, D,
+                             OptimizerConfig(), OptimizerConfig(),
+                             TrainingConfig(batch_size=4))
+    save_snapshot(d, state, cur_nimg=0, configs={"G": gcfg, "D": dcfg})
+
+    out = str(tmp_path / "cond.jaxexport")
+    monkeypatch.setattr(sys, "argv", [
+        "export_model.py", "--ckpt", d, "--out", out,
+        "--batch", "2", "--video-len", "3", "--selftest"])
+    import importlib
+    import export_model
+    importlib.reload(export_model)
+    export_model.main()
+    meta = json.load(open(out + ".json"))
+    assert meta["inputs"]["c"] == [2, 5]
