@@ -17,12 +17,9 @@ frames [B, T, H, W, 3] f32 in [-1, 1]; `seed` drives the motion-noise
 draw so one artifact serves arbitrarily many distinct videos. A sidecar
 <out>.json records the I/O contract.
 
-Note: exporting FROM any backend works (including cross-lowering with
---platforms tpu,cpu — verified to produce the artifact here). EXECUTING a
-deserialized artifact is verified on the CPU backend
-(tests/test_export_cli.py); this sandbox's experimental axon TPU tunnel
-rejects deserialized-module execution with FAILED_PRECONDITION — standard
-TPU-VM runtimes are the serving target.
+Verified end-to-end on BOTH backends: the CPU roundtrip in
+tests/test_export_cli.py, and on the attached TPU chip (single- and
+multi-platform artifacts deserialize and execute with finite output).
 """
 from __future__ import annotations
 
