@@ -12,10 +12,13 @@ model code, flax, or the Python config tree.
         --out model.jaxexport --batch 4 --video-len 16 [--truncation 1.0] \
         [--platforms tpu,cpu] [--selftest]
 
-The artifact takes (z [B, z_dim] f32, t [B, T] f32, seed i32) and returns
-frames [B, T, H, W, 3] f32 in [-1, 1]; `seed` drives the motion-noise
-draw so one artifact serves arbitrarily many distinct videos. A sidecar
-<out>.json records the I/O contract.
+The artifact takes (z [B, z_dim] f32, [c [B, c_dim] f32,] t [B, T] f32,
+seed i32) and returns frames [B, T, H, W, img_channels] f32 in [-1, 1];
+`seed` drives the motion-noise draw so one artifact serves arbitrarily
+many distinct videos. The motion-code lattice is pre-sized for timestamps
+up to --max-t (default: video-len; recorded as `t_max` in the sidecar) —
+the same static-trajectory contract as generate.py, which sizes it from
+t.max(). A sidecar <out>.json records the full I/O contract.
 
 Verified end-to-end on BOTH backends: the CPU roundtrip in
 tests/test_export_cli.py, and on the attached TPU chip (single- and
@@ -35,18 +38,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_export(G, variables, batch: int, video_len: int, truncation: float,
-                 platforms):
+                 platforms, max_t: float | None = None):
+    """Returns (exported, ref_fn): the jax.export artifact and the exact
+    reference callable it was lowered from (for parity selftests)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
+    from stylegan_v_tpu.models.motion import MotionMappingNetwork
 
     cfg = G.cfg
     cond = cfg.c_dim > 0
+    # Pre-size the motion lattice for the served timestamp range — relying
+    # on the motion_z=None default would size it from sampling.
+    # max_num_frames alone and silently clamp (freeze) motion past it
+    # (models/motion.py required_traj_len / lattice gather).
+    max_t = float(video_len if max_t is None else max_t)
+    L = MotionMappingNetwork.required_traj_len(cfg, max_t)
 
     def synth(z, c, t, seed):
         key = jax.random.PRNGKey(seed)
-        img = G.apply(variables, z, c, t, noise_mode="const",
-                      truncation_psi=truncation, rngs={"motion": key})
+        mz = jax.random.normal(key, (z.shape[0], L, cfg.motion.z_dim))
+        img = G.apply(variables, z, c, t, motion_z=mz, noise_mode="const",
+                      truncation_psi=truncation,
+                      rngs={"motion": jax.random.fold_in(key, 1)})
         # [B*T, H, W, C] -> [B, T, H, W, C]
         return img.reshape(z.shape[0], t.shape[1], *img.shape[1:])
 
@@ -59,11 +73,11 @@ def build_export(G, variables, batch: int, video_len: int, truncation: float,
         fn = jax.jit(synth)
         exported = jexport.export(fn, platforms=platforms)(
             z_spec, c_spec, t_spec, s_spec)
-    else:
-        fn = jax.jit(lambda z, t, seed: synth(z, None, t, seed))
-        exported = jexport.export(fn, platforms=platforms)(
-            z_spec, t_spec, s_spec)
-    return exported
+        return exported, fn
+    fn = jax.jit(lambda z, t, seed: synth(z, None, t, seed))
+    exported = jexport.export(fn, platforms=platforms)(
+        z_spec, t_spec, s_spec)
+    return exported, fn
 
 
 def main():
@@ -73,6 +87,9 @@ def main():
     ap.add_argument("--out", required=True, help="output artifact path")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--video-len", type=int, default=16)
+    ap.add_argument("--max-t", type=float, default=None,
+                    help="largest timestamp the artifact must serve "
+                         "(sizes the motion lattice; default: video-len)")
     ap.add_argument("--truncation", type=float, default=1.0)
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (e.g. tpu,cpu); "
@@ -95,21 +112,23 @@ def main():
 
     platforms = (tuple(p.strip() for p in args.platforms.split(","))
                  if args.platforms else None)
-    exported = build_export(G, variables, args.batch, args.video_len,
-                            args.truncation, platforms)
+    exported, ref_fn = build_export(G, variables, args.batch, args.video_len,
+                                    args.truncation, platforms,
+                                    max_t=args.max_t)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
+    inputs = {"z": [args.batch, G.cfg.z_dim]}
+    if G.cfg.c_dim > 0:
+        inputs["c"] = [args.batch, G.cfg.c_dim]
+    inputs["t"] = [args.batch, args.video_len]
+    inputs["seed"] = []
     meta = {
-        "inputs": ({"z": [args.batch, G.cfg.z_dim],
-                    "c": [args.batch, G.cfg.c_dim],
-                    "t": [args.batch, args.video_len], "seed": []}
-                   if G.cfg.c_dim > 0 else
-                   {"z": [args.batch, G.cfg.z_dim],
-                    "t": [args.batch, args.video_len], "seed": []}),
+        "inputs": inputs,
         "output": [args.batch, args.video_len, G.cfg.img_resolution,
-                   G.cfg.img_resolution, 3],
+                   G.cfg.img_resolution, G.cfg.img_channels],
         "range": [-1.0, 1.0],
+        "t_max": float(args.video_len if args.max_t is None else args.max_t),
         "truncation": args.truncation,
         "platforms": list(exported.platforms),
     }
@@ -131,16 +150,17 @@ def main():
         if G.cfg.c_dim > 0:
             c = jnp.zeros((args.batch, G.cfg.c_dim), jnp.float32)
             c = c.at[:, 0].set(1.0)
-            got = np.asarray(jax.jit(loaded.call)(z, c, t, seed))
+            inputs = (z, c, t, seed)
         else:
-            c = None
-            got = np.asarray(jax.jit(loaded.call)(z, t, seed))
-        key = jax.random.PRNGKey(7)
-        want = G.apply(variables, z, c, t, noise_mode="const",
-                       truncation_psi=args.truncation, rngs={"motion": key})
-        want = np.asarray(want).reshape(got.shape)
+            inputs = (z, t, seed)
+        got = np.asarray(jax.jit(loaded.call)(*inputs))
+        # reference = the exact jitted fn the artifact was lowered from
+        want = np.asarray(ref_fn(*inputs))
         err = np.abs(got - want).max()
-        assert err < 1e-4, f"selftest mismatch: {err}"
+        # bf16 synthesis blocks fuse/round differently across the two
+        # compiles; fp32 models should agree to float-assoc noise
+        tol = 1e-4 if G.cfg.num_bf16_res == 0 else 0.05
+        assert err < tol, f"selftest mismatch: {err} (tol {tol})"
         print(f"selftest OK: artifact output matches direct forward "
               f"(max abs err {err:.2e})")
 

@@ -282,7 +282,15 @@ def training_loop(setup: TrainSetup,
             save_video_frames_as_mp4(
                 panel, setup.sampling_cfg.fps,
                 os.path.join(run_dir, f"fakes{cur_nimg:06d}.mp4"))
-            save_snapshot(run_dir, jax.device_get(state), cur_nimg,
+            # ZeRO-1 moments span non-addressable devices on a multi-host
+            # mesh; all-gather to replicated (one jit identity over ICI)
+            # before the host fetch or device_get raises
+            snap_state = state
+            if state_sharding is not None and jax.process_count() > 1:
+                snap_state = jax.jit(
+                    lambda s: s,
+                    out_shardings=replicated_sharding(mesh))(state)
+            save_snapshot(run_dir, jax.device_get(snap_state), cur_nimg,
                           configs={"G": setup.gen_cfg, "D": setup.disc_cfg})
 
             # in-training metrics (reference training_loop.py:503-518)

@@ -118,13 +118,16 @@ def main():
         gen_cfg=small_gen_cfg(img_resolution=16),
         disc_cfg=small_disc_cfg(img_resolution=16),
         loss_cfg=LossConfig(r1_gamma=0.5, pl_weight=0.0),
-        train_cfg=TrainingConfig(batch_size=8, ema_kimg=0.5, ada_target=0.6),
+        # zero1: ZeRO-1 moments partitioned across BOTH processes'
+        # devices — covers the multihost snapshot allgather path
+        train_cfg=TrainingConfig(batch_size=8, ema_kimg=0.5, ada_target=0.6,
+                                 zero1=True),
         opt_g=OptimizerConfig(lr=0.002), opt_d=OptimizerConfig(lr=0.002),
         augment_cfg=None, augment_p=0.0,
         dataset_kwargs=dict(path=ds_path, sampling=sampling3,
                             max_num_frames=16),
         sampling_cfg=sampling3, use_fractional_t=True,
-        total_kimg=1, kimg_per_tick=0.024, snap_ticks=0,
+        total_kimg=1, kimg_per_tick=0.024, snap_ticks=1,
         metrics=[], seed=0, num_chips=1, resume=None, freeze_layers=0,
         num_workers=2)
     res = training_loop(setup, abort_fn=lambda: pid == 1,

@@ -63,7 +63,6 @@ def test_export_roundtrip(run_dir, tmp_path, monkeypatch):
 def test_export_conditional(tmp_path, monkeypatch):
     """c_dim > 0: the label one-hot becomes a served input and the artifact
     signature/metadata reflect it."""
-    from stylegan_v_tpu.models.config import replace as cfg_replace
     gcfg = small_gen_cfg(c_dim=5)
     dcfg = small_disc_cfg(c_dim=5)
     d = str(tmp_path / "cond_run")
