@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 V100_REF_FRAMES_PER_SEC = 250.0
@@ -208,14 +210,62 @@ def bench_train_step():
     return B * F / t_step, mfu
 
 
+def _probe_backend(max_attempts: int | None = None, probe_timeout: float = 300.0):
+    """Verify the accelerator backend can attach BEFORE importing jax here.
+
+    Round 3 lost its whole perf record to a transient TPU-attach failure:
+    the backend raised mid-run and nothing parseable was printed
+    (BENCH_r03.json rc=1, parsed=null). Backend-init failures are cached
+    inside a jax process, so the retry must happen in a SUBPROCESS; only
+    once a probe succeeds do we run the benchmark in this process.
+    Returns (ok, error_tail, attempts, wait_seconds)."""
+    if max_attempts is None:
+        max_attempts = int(os.environ.get("SGV_BENCH_PROBE_ATTEMPTS", "6"))
+    last_err = ""
+    waited = 0.0
+    for attempt in range(1, max_attempts + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); assert d; print(d[0].device_kind)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return True, None, attempt, waited
+            last_err = (r.stderr or r.stdout or "").strip()[-500:]
+        except subprocess.TimeoutExpired:
+            last_err = f"backend probe timed out after {probe_timeout:.0f}s"
+        except Exception as e:  # noqa: BLE001 — never break the contract line
+            last_err = repr(e)[:500]
+        if attempt < max_attempts:
+            backoff = min(60.0, 5.0 * (2 ** (attempt - 1)))
+            time.sleep(backoff)
+            waited += backoff
+    return False, last_err, max_attempts, waited
+
+
+def _emit(out: dict) -> None:
+    """The driver contract: exactly one parseable JSON line, always."""
+    print(json.dumps(out))
+
+
 def main():
-    out = {}
-    # headline: the ACTUAL BASELINE FFS-256 generator (fmaps=0.5 — the
-    # reference's auto spec at 256^2, train.py:158,167; VERDICT r2 task 8)
-    frames_per_sec, mfu = bench_synthesis(channel_base=16384)
-    out["metric"] = "synthesis_throughput_256_ffs"
+    out = {"metric": "synthesis_throughput_256_ffs", "value": 0.0,
+           "unit": "frames/sec/chip", "vs_baseline": 0.0}
+    ok, err, attempts, waited = _probe_backend()
+    if not ok:
+        out["error"] = f"tpu-attach failed after {attempts} attempts " \
+                       f"({waited:.0f}s backoff): {err}"
+        _emit(out)
+        return
+    try:
+        # headline: the ACTUAL BASELINE FFS-256 generator (fmaps=0.5 — the
+        # reference's auto spec at 256^2, train.py:158,167; VERDICT r2 task 8)
+        frames_per_sec, mfu = bench_synthesis(channel_base=16384)
+    except Exception as e:  # noqa: BLE001 — always emit the contract line
+        out["error"] = f"synthesis bench failed: {repr(e)[:400]}"
+        _emit(out)
+        return
     out["value"] = round(frames_per_sec, 2)
-    out["unit"] = "frames/sec/chip"
     out["model"] = "FFS-256 auto spec (fmaps=0.5, channel_base=16384)"
     out["vs_baseline"] = round(
         frames_per_sec / (TARGET_MULTIPLIER * V100_REF_FRAMES_PER_SEC), 3)
@@ -241,7 +291,7 @@ def main():
         except Exception as e:                       # never break the contract line
             out["train_error"] = repr(e)[:200]
 
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import downsample2d, setup_filter
+from ..parallel.mesh import constrain_data_axis
 from ..utils.misc import assert_shape
 from .config import DiscriminatorConfig
 from .layers import Conv2dLayer, FullyConnectedLayer, MappingNetwork, TemporalDifferenceEncoder
@@ -152,7 +153,7 @@ class DiscriminatorEpilogue(nn.Module):
     def __call__(self, x: jax.Array, img: Optional[jax.Array],
                  cmap: Optional[jax.Array]) -> jax.Array:
         assert_shape(x, [None, self.resolution, self.resolution, self.in_channels])
-        x = x.astype(jnp.float32)
+        x = constrain_data_axis(x.astype(jnp.float32))
         if self.architecture == "skip":
             img = img.astype(jnp.float32)
             x = x + Conv2dLayer(self.img_channels, self.in_channels, kernel_size=1,
@@ -165,9 +166,10 @@ class DiscriminatorEpilogue(nn.Module):
                         conv_clamp=self.conv_clamp, name="conv")(x)
         # NHWC flatten differs from the reference's NCHW flatten only by a
         # fixed permutation of fc input features (pkl import permutes).
+        x = constrain_data_axis(x.reshape(x.shape[0], -1))
         x = FullyConnectedLayer(self.in_channels * self.resolution ** 2,
                                 self.in_channels, activation=self.activation,
-                                name="fc")(x.reshape(x.shape[0], -1))
+                                name="fc")(x)
         x = FullyConnectedLayer(self.in_channels,
                                 1 if self.cmap_dim == 0 else self.cmap_dim,
                                 name="out")(x)
@@ -247,6 +249,10 @@ class Discriminator(nn.Module):
                 x = x.reshape(B, nf, *x.shape[1:])
                 x = jnp.moveaxis(x, 1, -2)                  # [B, H, W, F, C]
                 x = x.reshape(B, x.shape[1], x.shape[2], nf * x.shape[-1])
+                # pin batch->'data' across the fusion reshape: the partitioner
+                # cannot track the video axis through it and would otherwise
+                # fully rematerialize in the second-order R1 path
+                x = constrain_data_axis(x)
             block = DiscriminatorBlock(in_ch, tmp_ch, out_ch, resolution=res,
                                        first_layer_idx=cur_layer_idx,
                                        use_bf16=(res >= bf16_resolution),

@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    constrain_data_axis,
     create_mesh,
     data_sharding,
     initialize_multihost,

@@ -38,6 +38,29 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def constrain_data_axis(x: jax.Array, axis: str = "data") -> jax.Array:
+    """Pin dim0 (batch) of `x` to the mesh `axis`; no-op without a mesh.
+
+    Model code calls this at batch-reshape boundaries the SPMD partitioner
+    cannot track (the D frame-fusion [B*F,...]→[B,...,F*C] and epilogue
+    flatten — reference topology networks.py:659-662): without the pin, the
+    partitioner resolves the second-order R1 path through these reshapes by
+    involuntary full rematerialization (replicate-then-reshard) on every Dr1
+    step. Resolution is trace-time via the ambient abstract mesh
+    (`jax.sharding.use_abstract_mesh`), so the model stays mesh-agnostic and
+    single-chip programs are untouched.
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return x
+    if am is None or axis not in getattr(am, "axis_names", ()):
+        return x
+    if dict(am.shape).get(axis, 1) <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(axis))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

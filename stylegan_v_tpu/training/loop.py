@@ -176,7 +176,7 @@ def training_loop(setup: TrainSetup,
     step_fn = make_train_step(G, D, setup.loss_cfg, setup.opt_g, setup.opt_d,
                               setup.train_cfg, augment_fn=augment_fn, donate=False,
                               d_lr_scales=d_lr_scales,
-                              state_sharding=state_sharding)
+                              state_sharding=state_sharding, mesh=mesh)
 
     # ---- visualization state (reference training_loop.py:272-299) --------
     grid_reals, grid_labels = setup_snapshot_image_grid(dataset, setup.seed)

@@ -160,7 +160,7 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
                     tcfg: TrainingConfig, augment_fn: Optional[Callable] = None,
                     donate: bool = True,
                     d_lr_scales: Optional[Dict[str, float]] = None,
-                    state_sharding=None):
+                    state_sharding=None, mesh=None):
     """Returns train_step(state, batch, rng, do_gpl, do_dr1) with the two
     booleans static (compiles up to 4 cached variants).
 
@@ -168,6 +168,13 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
     as the OUTPUT state sharding — required for ZeRO-1 so the updated
     moments stay partitioned step over step instead of drifting to whatever
     layout sharding propagation picks (parallel/zero.py).
+
+    mesh: the device mesh the program runs over (derived from state_sharding
+    when omitted). When known, the step traces under
+    `jax.sharding.use_abstract_mesh` so model-internal
+    `constrain_data_axis` pins resolve — this is what keeps the D
+    frame-fusion/epilogue reshapes batch-sharded through the second-order R1
+    path instead of triggering SPMD involuntary full rematerialization.
 
     batch dict (host-prepared, [B, ...] global shapes):
       real_img: [B, F, H, W, C] uint8 (normalized on device: saves 4x PCIe)
@@ -233,6 +240,8 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
         rep = NamedSharding(jax.tree_util.tree_leaves(state_sharding)[0].mesh,
                             PartitionSpec())
         jit_kwargs["out_shardings"] = (state_sharding, rep)
+        if mesh is None:
+            mesh = jax.tree_util.tree_leaves(state_sharding)[0].mesh
 
     @partial(jax.jit, static_argnames=("do_gpl", "do_dr1"),
              donate_argnums=(0,) if donate else (), **jit_kwargs)
@@ -379,4 +388,12 @@ def make_train_step(G: Generator, D: Discriminator, loss_cfg: LossConfig,
             pl_mean=pl_mean, augment_p=augment_p, ada_sign_acc=ada_sign_acc)
         return new_state, stats
 
+    if mesh is not None and mesh.size > 1:
+        abstract = mesh.abstract_mesh
+
+        def train_step_with_mesh(state, batch, rng, **kw):
+            with jax.sharding.use_abstract_mesh(abstract):
+                return train_step(state, batch, rng, **kw)
+
+        return train_step_with_mesh
     return train_step
