@@ -88,8 +88,17 @@ def main():
     ops = {"pg": state.params_G, "eg": dict(state.extra_G),
            "pd": state.params_D, "real": real, "t": t}
 
+    # v5e per-chip peaks for the roofline: bf16 MXU 197.3 TF/s, HBM 820 GB/s.
+    # Phases mix bf16 (ladder convs) and fp32 (epilogues/stats); using the
+    # bf16 peak makes the roofline CONSERVATIVE (reported ratios are upper
+    # bounds on the true headroom).
+    PEAK_FLOPS, HBM_BW = 197.3e12, 820e9
+
     def timed(name, body):
-        """body(key, ops) -> scalar; K iterations in one scan program."""
+        """body(key, ops) -> scalar; K iterations in one scan program.
+        Reports measured ms/iter plus the program's own XLA-cost-analysis
+        roofline: max(flops/MXU_peak, bytes/HBM_bw) — cost analysis counts a
+        lax.scan body ONCE, so the numbers are per-iteration."""
         @jax.jit
         def prog(keys, ops):
             def step(acc, k):
@@ -99,13 +108,26 @@ def main():
 
         seed = int(time.time()) & 0x7FFFFFFF
         keys = jax.random.split(jax.random.PRNGKey(seed), K)
-        float(prog(keys, ops))                              # compile+warm
+        compiled = prog.lower(keys, ops).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+        float(compiled(keys, ops))                          # warm
         keys2 = jax.random.split(jax.random.PRNGKey(seed + 1), K)
         t0 = time.perf_counter()
-        acc = float(prog(keys2, ops))
+        acc = float(compiled(keys2, ops))
         dt = (time.perf_counter() - t0) / K * 1e3
         assert np.isfinite(acc)
-        print(f"{name:28s} {dt:8.1f} ms/iter", flush=True)
+        t_mxu = flops / PEAK_FLOPS * 1e3
+        t_hbm = bytes_ / HBM_BW * 1e3
+        roof = max(t_mxu, t_hbm)
+        bound = "mxu" if t_mxu >= t_hbm else "hbm"
+        ratio = dt / roof if roof > 0 else float("nan")
+        print(f"{name:28s} {dt:8.1f} ms/iter   roofline {roof:7.1f} ms "
+              f"({bound}: mxu {t_mxu:.1f} / hbm {t_hbm:.1f})   "
+              f"ratio {ratio:.2f}", flush=True)
         return dt
 
     def gmain_body(k, o):

@@ -97,6 +97,12 @@ def main():
                     help="3x3 panel: same motion across rows, same content "
                          "across columns (reference generate.py:115-123)")
     ap.add_argument("--batch-size-num-frames", type=int, default=100)
+    ap.add_argument("--frame-shards", type=int, default=1,
+                    help="shard the frame axis over a 2-D (data x frame) "
+                         "device mesh for long clips — the context-parallel "
+                         "analog (SURVEY §5.7): frames are independent given "
+                         "(ws, motion codes). num-videos must divide the "
+                         "data axis and video-len the frame axis.")
     args = ap.parse_args()
 
     from stylegan_v_tpu.training.video_io import (
@@ -131,11 +137,35 @@ def main():
         z = np.tile(z[:k], (k, 1))                        # same content per col
 
     print(f"Generating {n} videos x {args.video_len} frames...")
-    videos = generate_videos(G, variables, z, c, ts, motion_z=motion_z,
-                             noise_mode=args.noise_mode,
-                             truncation_psi=args.truncation_psi,
-                             batch_size_num_frames=args.batch_size_num_frames,
-                             seed=args.seed)
+    if args.frame_shards > 1:
+        # 2-D mesh synthesis: videos over 'data', frames over 'frame' — ONE
+        # jitted program for the whole [V, T] grid instead of the chunked
+        # host loop (reference logging.py:44's chunking re-expressed as
+        # sharding). The shared motion trajectory keeps chunk-free temporal
+        # coherence by construction.
+        import jax
+        from stylegan_v_tpu.parallel import create_mesh, sharded_generate_frames
+        f = args.frame_shards
+        ndev = len(jax.devices())
+        assert ndev % f == 0, f"{ndev} devices not divisible by frame shards {f}"
+        mesh = create_mesh(frame=f)
+        d = int(mesh.shape["data"])
+        assert n % d == 0 and args.video_len % f == 0, (
+            f"num-videos {n} / video-len {args.video_len} must divide the "
+            f"{d}x{f} (data x frame) mesh")
+        if motion_z is None and G.cfg.has_motion:
+            L = MotionMappingNetwork.required_traj_len(G.cfg, float(ts.max()))
+            motion_z = rng.randn(n, L, G.cfg.motion.z_dim).astype(np.float32)
+        frames = sharded_generate_frames(
+            G, variables, z, c, ts, motion_z, mesh,
+            noise_mode=args.noise_mode, truncation_psi=args.truncation_psi)
+        videos = np.clip(np.asarray(frames) * 0.5 + 0.5, 0.0, 1.0)
+    else:
+        videos = generate_videos(G, variables, z, c, ts, motion_z=motion_z,
+                                 noise_mode=args.noise_mode,
+                                 truncation_psi=args.truncation_psi,
+                                 batch_size_num_frames=args.batch_size_num_frames,
+                                 seed=args.seed)
 
     os.makedirs(args.output_dir, exist_ok=True)
     if args.as_grids or args.moco_decomposition:

@@ -17,6 +17,10 @@ def compute_fvd(opts, max_real, num_gen, num_frames: int,
     detector_kwargs = dict(rescale=True, resize=True, return_features=True)
     resolution = opts.dataset_kwargs.get("resolution") or 256
     batch_size = NUM_FRAMES_IN_BATCH.get(resolution, 128)
+    if opts.max_real_override is not None:
+        max_real = opts.max_real_override
+    if opts.num_gen_override is not None:
+        num_gen = opts.num_gen_override
 
     # real: consecutive-frame loading with subsampling + short-video discard
     # (reference frechet_video_distance.py:26-33)

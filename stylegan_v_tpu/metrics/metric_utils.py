@@ -47,6 +47,10 @@ class MetricOptions:
     detector_dir: Optional[str] = None
     verbose: bool = False
     progress: Optional[Callable] = None
+    # CI-shrink overrides for metric item counts (used by the fvd_parity
+    # harness to run the full pipeline on tiny inputs; None = metric default)
+    max_real_override: Optional[int] = None
+    num_gen_override: Optional[int] = None
 
 
 class FeatureStats:
@@ -557,11 +561,19 @@ def compute_feature_stats_for_generator(
     mesh = opts.mesh
     jittable = getattr(detector, "jittable", None)
     batch_videos = max(1, batch_size // num_video_frames)
+    frame_shards = 1
     if mesh is not None:
         # round the video batch up to the data-axis size so every jit call
         # shards evenly over the mesh
         d = int(mesh.shape["data"])
         batch_videos = max(batch_videos // d, 1) * d
+        # frame-axis (context-parallel analog) sharding: long-clip extraction
+        # (fvd2048_128f) shards the T synthesized frames over the 'frame'
+        # mesh axis — frames are independent given (ws, motion codes), so
+        # synthesis needs no collectives (SURVEY §5.7; parallel/sharded_eval)
+        frame_shards = int(dict(mesh.shape).get("frame", 1))
+        if num_video_frames % frame_shards != 0:
+            frame_shards = 1
 
     def synth_body(z, c, t, mz):
         img = G.apply(variables, z, c, t, motion_z=mz, noise_mode=noise_mode,
@@ -588,6 +600,12 @@ def compute_feature_stats_for_generator(
     from jax.sharding import NamedSharding, PartitionSpec
     put = ((lambda x: jax.device_put(x, NamedSharding(mesh, PartitionSpec("data"))))
            if mesh is not None else (lambda x: x))
+    # timestamps shard [videos, frames] over (data, frame): the generator's
+    # [B,T]->[B*T] flatten merges both sharded axes, so every synthesized
+    # frame lands on its own mesh coordinate
+    put_t = ((lambda x: jax.device_put(
+                 x, NamedSharding(mesh, PartitionSpec("data", "frame"))))
+             if mesh is not None and frame_shards > 1 else put)
 
     while not stats.is_full():
         key, sub = jax.random.split(key)
@@ -598,7 +616,7 @@ def compute_feature_stats_for_generator(
             c_j = put(jnp.asarray(c))
         else:
             c_j = None
-        t = put(jnp.asarray(np.tile(ts_row[None], (batch_videos, 1))))
+        t = put_t(jnp.asarray(np.tile(ts_row[None], (batch_videos, 1))))
         mz = (put(jax.random.normal(jax.random.fold_in(key, 1),
                                     (batch_videos, L, cfg.motion.z_dim)))
               if cfg.has_motion else None)

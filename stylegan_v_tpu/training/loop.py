@@ -31,11 +31,34 @@ from .train_step import init_train_state, make_train_step
 from .video_io import generate_videos, save_image_grid, save_video_frames_as_mp4, videos_as_grids
 
 
-def setup_snapshot_image_grid(dataset, grid_seed: int = 0, max_videos: int = 16):
-    """Pick grid videos + their conditioning (reference training_loop.py:36-76,
-    simplified: seeded random subset)."""
+def setup_snapshot_image_grid(dataset, grid_seed: int = 0, max_videos: int = 16,
+                              row_len: int = 4):
+    """Pick grid videos + their conditioning (reference training_loop.py:35-76).
+
+    Unconditional datasets: seeded random subset. Conditional datasets: the
+    grid is LABEL-GROUPED — consecutive `row_len` slots show videos of one
+    label, cycling through labels in sorted order — so class coverage and
+    per-class quality are visible at a glance (the reference's
+    cluster-by-label grid layout)."""
     rnd = np.random.RandomState(grid_seed)
-    idx = rnd.choice(len(dataset), size=min(max_videos, len(dataset)), replace=False)
+    n = min(max_videos, len(dataset))
+    if not dataset.has_labels:
+        idx = rnd.choice(len(dataset), size=n, replace=False)
+    else:
+        groups: Dict[tuple, list] = {}
+        for i in range(len(dataset)):
+            key = tuple(np.asarray(dataset.get_label(i)).flatten().tolist())
+            groups.setdefault(key, []).append(i)
+        keys = sorted(groups)
+        for g in groups.values():
+            rnd.shuffle(g)
+        idx, k = [], 0
+        while len(idx) < n and any(groups.values()):
+            g = groups[keys[k % len(keys)]]
+            idx.extend(g[:row_len])
+            del g[:row_len]
+            k += 1
+        idx = np.asarray(idx[:n])
     items = [dataset[int(i)] for i in idx]
     images = np.stack([it["image"][0] for it in items])       # first frames
     labels = np.stack([it["label"] for it in items]).astype(np.float32)
@@ -187,9 +210,23 @@ def training_loop(setup: TrainSetup,
                                          (vis_n, setup.gen_cfg.z_dim)))
     vis_c = (grid_labels[:vis_n] if setup.gen_cfg.c_dim > 0 else None)
     vis_T = min(16, setup.sampling_cfg.max_num_frames)
+    vis_ts = np.tile(np.arange(vis_T, dtype=np.float32)[None], (vis_n, 1))
+
+    # fakes_init: untrained-G_ema grid before the first step (reference
+    # training_loop.py:283) — same call shape as the per-snapshot panels, so
+    # the compiled synthesis program is reused.
+    if is_chief:
+        init_vars = {"params": jax.device_get(state.params_Gema),
+                     **jax.device_get(state.extra_Gema)}
+        init_vids = generate_videos(G, init_vars, vis_z, vis_c, vis_ts,
+                                    noise_mode="const")
+        save_image_grid(init_vids[:, 0] * 2 - 1,
+                        os.path.join(run_dir, "fakes_init.jpg"))
 
     # ---- sinks -----------------------------------------------------------
+    from ..utils.training_stats import DeviceStatsAccumulator
     collector = Collector()
+    dstats = DeviceStatsAccumulator()
     jsonl = StatsJsonlWriter(run_dir)
     tb = TensorboardWriter(run_dir)
 
@@ -204,6 +241,13 @@ def training_loop(setup: TrainSetup,
     cur_tick = 0
     tick_start = time.time()
     step_idx = int(state.step)
+    # host-side nimg mirror: reading state.cur_nimg per step would block on
+    # the step's device scalars (serializing dispatch against compute); the
+    # jitted step increments by exactly nimg_per_step, so the mirror is exact
+    nimg_per_step = (setup.train_cfg.batch_size
+                     * setup.sampling_cfg.num_frames_per_video)
+    cur_nimg = int(state.cur_nimg)
+    base_nimg, base_step = cur_nimg, step_idx
 
     log(f"Training for {setup.total_kimg} kimg ({total_steps} steps)...")
     while True:
@@ -214,13 +258,20 @@ def training_loop(setup: TrainSetup,
         do_dr1 = dr1_int is not None and step_idx % dr1_int == 0
         state, stats = step_fn(state, batch, jax.random.fold_in(rng, step_idx),
                                do_gpl=do_gpl, do_dr1=do_dr1)
-        collector.update({k: float(v) for k, v in stats.items()})
+        dstats.update(stats)         # device-resident accumulation, no sync
+        t_disp = time.time()
         # per-phase timing telemetry (reference Timing/<phase>,
-        # training_loop.py:254-262; here one fused program per step)
+        # training_loop.py:254-262). The step is ONE fused program, so the
+        # reference's Gmain/Greg/Dmain/Dreg split becomes per-PROGRAM-VARIANT
+        # wall time between dispatches: once the dispatch queue back-
+        # pressures, the mean per-variant wall time converges to the
+        # variant's device step time.
+        variant = ("Gmain_Dmain" + ("_Gpl" if do_gpl else "")
+                   + ("_Dr1" if do_dr1 else ""))
         collector.report("Timing/data_fetch", t_data - t_step)
-        collector.report("Timing/step_dispatch", time.time() - t_data)
+        collector.report(f"Timing/{variant}", t_disp - t_data)
         step_idx += 1
-        cur_nimg = int(state.cur_nimg)
+        cur_nimg = base_nimg + (step_idx - base_step) * nimg_per_step
 
         done = cur_nimg >= setup.total_kimg * 1000
         if (not done) and cur_nimg < next_tick_nimg + tick_interval_nimg:
@@ -229,6 +280,7 @@ def training_loop(setup: TrainSetup,
         # ---- per-tick maintenance (reference training_loop.py:417-544) ---
         cur_tick += 1
         next_tick_nimg = cur_nimg
+        dstats.drain_into(collector)   # the tick's ONE stats host sync
         tick_time = time.time() - tick_start
         fields = [
             f"tick {cur_tick:<5d}",
@@ -249,14 +301,23 @@ def training_loop(setup: TrainSetup,
         # snapshots
         if setup.snap_ticks and (cur_tick % setup.snap_ticks == 0 or done):
             log("Saving snapshots...")
-            # replicated-state divergence check before checkpointing (the
-            # sharded-jit analog of check_ddp_consistency)
+            # replicated-state divergence check before checkpointing over the
+            # FULL state — G, D, EMA, optimizer moments, pl_mean, augment_p —
+            # the sharded-jit analog of the reference's per-module
+            # check_ddp_consistency sweep (training_loop.py:487-492,
+            # misc.py:179-188). ZeRO-1-sharded leaves are skipped inside
+            # (shard-local by construction).
             from ..utils.summary import check_replica_consistency
-            check_replica_consistency(state.params_G)
+            check_replica_consistency({
+                "params_G": state.params_G, "params_D": state.params_D,
+                "params_Gema": state.params_Gema, "extra_G": state.extra_G,
+                "extra_Gema": state.extra_Gema, "opt_G": state.opt_G,
+                "opt_D": state.opt_D, "pl_mean": state.pl_mean,
+                "augment_p": state.augment_p})
             # image/video panels from G_ema
             ema_vars = {"params": jax.device_get(state.params_Gema),
                         **jax.device_get(state.extra_Gema)}
-            ts = np.tile(np.arange(vis_T, dtype=np.float32)[None], (vis_n, 1))
+            ts = vis_ts
             vids = generate_videos(G, ema_vars, vis_z, vis_c, ts,
                                    noise_mode="const")
             save_image_grid(vids[:, 0] * 2 - 1,

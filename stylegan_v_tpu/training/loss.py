@@ -174,15 +174,24 @@ class GANLoss:
 
     def dreal_dr1(self, params_D, vars_rest_D, real_img, real_c, real_t, rng,
                   augment_p, do_main: bool, do_r1: bool, r1_gamma: float):
-        """Dreal + R1 sharing one D forward graph (reference loss.py:139-173)."""
+        """Dreal + R1 sharing ONE D forward graph (reference loss.py:139-173).
+
+        The R1 path obtains the stats/Dreal logits as the `has_aux` output of
+        the same `jax.grad` forward, so the single-forward property holds by
+        construction rather than by trusting XLA CSE (a duplicate would cost
+        ~20 ms/step amortized at the production shape)."""
         vars_D = {"params": params_D, **vars_rest_D}
         stats: Dict[str, jax.Array] = {}
 
-        def logits_of(img):
-            return self.run_D(vars_D, img, real_c, real_t, rng, augment_p)["image_logits"]
+        def sum_logits_and_out(img):
+            out = self.run_D(vars_D, img, real_c, real_t, rng, augment_p)
+            return jnp.sum(out["image_logits"]), out
 
         loss = 0.0
-        out = self.run_D(vars_D, real_img, real_c, real_t, rng, augment_p)
+        if do_r1:
+            r1_grads, out = jax.grad(sum_logits_and_out, has_aux=True)(real_img)
+        else:
+            _, out = sum_logits_and_out(real_img)
         logits = out["image_logits"]
         stats["Loss/scores/real"] = jnp.mean(logits)
         stats["Loss/signs/real"] = jnp.mean(jnp.sign(logits))
@@ -194,7 +203,6 @@ class GANLoss:
                 loss = loss + jnp.mean(softplus(-out["video_logits"]))
                 stats["Loss/scores/real_video"] = jnp.mean(out["video_logits"])
         if do_r1:
-            r1_grads = jax.grad(lambda im: jnp.sum(logits_of(im)))(real_img)
             r1_per_frame = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))   # [B*F]
             frames_per_logit = real_img.shape[0] // logits.shape[0]
             r1_per_video = jnp.mean(

@@ -112,13 +112,26 @@ def tree_content_hash(tree, ignore_regex: Optional[str] = None) -> str:
 def check_replica_consistency(tree, ignore_regex: Optional[str] = None) -> bool:
     """All hosts must hold identical replicated state (call before
     checkpointing). Single-process: trivially true. Multi-process: hashes are
-    exchanged via multihost_utils; raises on divergence."""
+    exchanged via multihost_utils; raises on divergence.
+
+    Leaves that are NOT fully replicated (e.g. ZeRO-1-partitioned optimizer
+    moments) are skipped: they are shard-local by construction and not even
+    host-addressable in full. `ignore_regex` filters leaf paths like the
+    reference's ignore list for legitimately-divergent buffers
+    (reference misc.py:179-188)."""
     import jax
     if jax.process_count() == 1:
         return True
     from jax.experimental import multihost_utils
     import jax.numpy as jnp
-    digest = tree_content_hash(tree, ignore_regex)
+
+    def _replicated(leaf):
+        keep = (not hasattr(leaf, "is_fully_replicated")
+                or leaf.is_fully_replicated)
+        return leaf if keep else None      # None subtrees drop out of flatten
+
+    digest = tree_content_hash(jax.tree_util.tree_map(_replicated, tree),
+                               ignore_regex)
     local = jnp.asarray(np.frombuffer(bytes.fromhex(digest), dtype=np.uint8))
     gathered = multihost_utils.process_allgather(local)
     same = bool((gathered == gathered[0]).all())

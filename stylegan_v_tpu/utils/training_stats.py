@@ -46,6 +46,15 @@ class Collector:
             for k, v in stats.items():
                 self.report(k, v)
 
+    def update_moments(self, name: str, moments: np.ndarray) -> None:
+        """Merge pre-reduced [count, sum, sum_sq] moments (exact composition,
+        reference training_stats.py:56-99 invariant)."""
+        m = np.asarray(moments, np.float64)
+        if name in self._moments:
+            self._moments[name] += m
+        else:
+            self._moments[name] = m.copy()
+
     def names(self):
         return [n for n in self._moments if self._regex.fullmatch(n)]
 
@@ -78,6 +87,67 @@ class Collector:
 
     def reset(self) -> None:
         self._moments = {}
+
+
+class DeviceStatsAccumulator:
+    """Accumulates per-step scalar stats ON DEVICE: one fused async dispatch
+    per step, one host readback per tick.
+
+    Replaces the per-step `float(v)` sync (the JAX analog of the reference
+    Collector's per-update GPU->CPU transfer, training_stats.py:147-168):
+    blocking on every step's device scalars serializes dispatch against
+    compute — and on a tunneled attachment pays the round-trip latency per
+    step. Moments are [finite_count, sum, sum_sq] per name, so draining into
+    a `Collector` is exact.
+
+    Key sets differ per program variant (Gpl/Dr1 steps add stats); each
+    distinct key set gets its own accumulator tree and jitted add program
+    (a handful of cached variants).
+    """
+
+    def __init__(self):
+        self._acc: Dict[frozenset, Dict] = {}
+        self._add = None
+
+    def _add_fn(self):
+        if self._add is None:
+            import jax
+            import jax.numpy as jnp
+
+            def add(acc, stats):
+                out = {}
+                for k, (cnt, s, sq) in acc.items():
+                    v = stats[k].astype(jnp.float32)
+                    ok = jnp.isfinite(v)
+                    v = jnp.where(ok, v, 0.0)
+                    out[k] = (cnt + ok.astype(jnp.float32), s + v, sq + v * v)
+                return out
+
+            # no donation: these are O(10) scalars and CPU backends warn on
+            # unused donations
+            self._add = jax.jit(add)
+        return self._add
+
+    def update(self, stats: Dict) -> None:
+        import jax.numpy as jnp
+        key = frozenset(stats)
+        if key not in self._acc:
+            z = jnp.zeros((), jnp.float32)
+            self._acc[key] = {k: (z, z, z) for k in stats}
+        self._acc[key] = self._add_fn()(self._acc[key], stats)
+
+    def drain_into(self, collector: "Collector") -> None:
+        """Fetch all accumulated moments (ONE host sync) and merge them into
+        the collector; resets the accumulator."""
+        import jax
+        if not self._acc:
+            return
+        host = jax.device_get(list(self._acc.values()))
+        self._acc = {}
+        for tree in host:
+            for name, (cnt, s, sq) in tree.items():
+                collector.update_moments(
+                    name, np.array([cnt, s, sq], np.float64))
 
 
 class StatsJsonlWriter:

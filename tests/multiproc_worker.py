@@ -48,6 +48,22 @@ def main():
     tree = {"w": np.full((3, 3), 7.0, np.float32)}
     out["consistency_ok"] = bool(check_replica_consistency(tree))
 
+    # divergence in ANY state member must be caught (the full-state sweep of
+    # reference training_loop.py:487-492): here D diverges across processes
+    # while G agrees — the check must raise on every process.
+    diverged = {"params_G": np.ones(3, np.float32),
+                "params_D": np.full(3, 1.0 + pid, np.float32)}
+    try:
+        check_replica_consistency(diverged)
+        out["divergence_caught"] = False
+    except RuntimeError:
+        out["divergence_caught"] = True
+
+    # ignore_regex: the same divergence is waived when the diverging leaf
+    # path is ignored (reference misc.py:179-188 ignore semantics)
+    out["divergence_ignored_ok"] = bool(
+        check_replica_consistency(diverged, ignore_regex=r"params_D"))
+
     # ---- replica-sharded dataset stats + cross-process merge -------------
     from stylegan_v_tpu.metrics.metric_utils import (
         MetricOptions, compute_feature_stats_for_dataset)

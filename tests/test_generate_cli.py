@@ -107,3 +107,26 @@ def test_generate_rejects_nonsquare_moco(run_dir, tmp_path, monkeypatch):
         run_cli(monkeypatch, ["--networks-dir", run_dir, "-o", out,
                               "--num-videos", "3", "--video-len", "2",
                               "--moco-decomposition"])
+
+
+def test_generate_frame_sharded(run_dir, tmp_path, monkeypatch):
+    """--frame-shards 2: one sharded program over a (data x frame) mesh
+    (context-parallel analog, SURVEY §5.7) must write the same artifact
+    layout as the chunked host loop."""
+    out = str(tmp_path / "out_fs")
+    run_cli(monkeypatch, ["--networks-dir", run_dir, "-o", out,
+                          "--num-videos", "4", "--video-len", "8",
+                          "--frame-shards", "2"])
+    files = sorted(os.listdir(out))
+    assert files == [f"video{i:04d}.mp4" for i in range(4)]
+    import cv2
+    cap = cv2.VideoCapture(os.path.join(out, files[0]))
+    n, last = 0, None
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        n, last = n + 1, frame
+    cap.release()
+    assert n == 8 and last.shape == (32, 32, 3)
+    assert last.std() > 1.0          # non-degenerate output

@@ -43,7 +43,10 @@ def test_loop_artifacts_and_resume(tmp_path):
     files = os.listdir(run)
     assert "reals.jpg" in files
     assert "stats.jsonl" in files
-    assert any(f.startswith("fakes") and f.endswith(".jpg") for f in files)
+    # untrained-G_ema panel at step 0 (reference training_loop.py:283)
+    assert "fakes_init.jpg" in files
+    assert any(f.startswith("fakes") and f[5].isdigit() and f.endswith(".jpg")
+               for f in files)
     assert any(f.startswith("fakes") and f.endswith(".mp4") for f in files)
     snaps = [f for f in files if f.startswith("network-snapshot-")
              and not f.endswith(".json")]
@@ -52,6 +55,13 @@ def test_loop_artifacts_and_resume(tmp_path):
     rows = [json.loads(l) for l in open(run / "stats.jsonl")]
     assert rows and "Loss/G/loss" in rows[0]
     assert set(rows[0]["Loss/G/loss"]) == {"mean", "std", "num"}
+    # live per-variant timing telemetry (reference Timing/<phase>,
+    # training_loop.py:254-262,422-424): the fused-step analog is per
+    # program variant; with G/D reg intervals active all variants appear
+    # across the run's ticks
+    timing_keys = {k for row in rows for k in row if k.startswith("Timing/")}
+    assert "Timing/data_fetch" in timing_keys
+    assert any(k.startswith("Timing/Gmain_Dmain") for k in timing_keys)
 
     # resume=latest continues from the recorded nimg
     setup2 = tiny_setup(tmp_path, "run", kimg=0.1, resume="latest")

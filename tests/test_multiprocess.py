@@ -72,6 +72,8 @@ def test_two_process_four_device_cluster(tmp_path):
     assert abs(r0["fvd_mesh"]) < 1.0
     assert r0["batch_sum"] == r1["batch_sum"]
     assert r0["consistency_ok"] and r1["consistency_ok"]
+    assert r0["divergence_caught"] and r1["divergence_caught"]
+    assert r0["divergence_ignored_ok"] and r1["divergence_ignored_ok"]
     # rank-agreed abort: only process 1's abort_fn fired, yet BOTH processes
     # exited at the same (early) tick — no one-sided exit, no deadlock
     assert r0["abort_nimg"] == r1["abort_nimg"]

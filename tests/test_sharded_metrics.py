@@ -220,3 +220,38 @@ def test_fused_generator_detector_on_mesh_matches_host(ds_path):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(sharded.get_mean_cov()[0], host.get_mean_cov()[0],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_frame_sharded_128f_generator_stats_match_1d(ds_path):
+    """Long-clip (128-frame) generator feature extraction on a 2-D
+    data x frame mesh must produce the same features as the 1-D data mesh:
+    the frame axis is the context-parallel analog (SURVEY §5.7), wired into
+    compute_feature_stats_for_generator for fvd2048_128f-class extraction
+    (VERDICT r3 task 6 done-criterion)."""
+    from stylegan_v_tpu.models import Generator
+    from test_models import small_gen_cfg
+    cfg = small_gen_cfg(**{"img_resolution": 16, "channel_base": 512})
+    G = Generator(cfg)
+    z = jnp.zeros((1, cfg.z_dim))
+    t = jnp.zeros((1, 2))
+    variables = jax.jit(lambda r, z, t: G.init(r, z, None, t, noise_mode="none"))(
+        {"params": jax.random.PRNGKey(0), "motion": jax.random.PRNGKey(1)}, z, t)
+
+    # 128 consecutive frames per clip, 4 clips: the fvd2048_128f extraction
+    # shape family (reference frechet_video_distance.py:14,29) at test scale
+    kw = dict(detector_name="jit_vid", detector_kwargs={},
+              capture_mean_cov=True, capture_all=True, max_items=4,
+              num_video_frames=128, temporal_detector=True,
+              batch_size=512)                    # batch_videos = 4 both paths
+    flat = compute_feature_stats_for_generator(
+        MetricOptions(G=G, G_variables=variables, cache=False,
+                      dataset_kwargs=dataset_kwargs(ds_path),
+                      mesh=create_mesh(frame=1)), **kw)
+    mesh2 = create_mesh(frame=2)                 # 4 x 2 (data x frame)
+    sharded = compute_feature_stats_for_generator(
+        MetricOptions(G=G, G_variables=variables, cache=False,
+                      dataset_kwargs=dataset_kwargs(ds_path), mesh=mesh2), **kw)
+
+    assert flat.num_items == sharded.num_items == 4
+    np.testing.assert_allclose(sharded.get_all(), flat.get_all(),
+                               rtol=1e-4, atol=1e-5)
