@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--ada", action="store_true",
                     help="enable the bgc augment pipe at p=0.8 (parity AA mode)")
+    ap.add_argument("--hlo-audit", action="store_true",
+                    help="parse each compiled program's HLO and report the "
+                         "tile-padded (128-lane) MXU roofline next to the "
+                         "naive one (utils/roofline.py)")
+    ap.add_argument("--top", type=int, default=0,
+                    help="with --hlo-audit: also print the top-N contractions "
+                         "by padded MXU time")
     args = ap.parse_args()
 
     import dataclasses
@@ -108,7 +115,8 @@ def main():
 
         seed = int(time.time()) & 0x7FFFFFFF
         keys = jax.random.split(jax.random.PRNGKey(seed), K)
-        compiled = prog.lower(keys, ops).compile()
+        lowered = prog.lower(keys, ops)
+        compiled = lowered.compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
@@ -125,9 +133,32 @@ def main():
         roof = max(t_mxu, t_hbm)
         bound = "mxu" if t_mxu >= t_hbm else "hbm"
         ratio = dt / roof if roof > 0 else float("nan")
-        print(f"{name:28s} {dt:8.1f} ms/iter   roofline {roof:7.1f} ms "
-              f"({bound}: mxu {t_mxu:.1f} / hbm {t_hbm:.1f})   "
-              f"ratio {ratio:.2f}", flush=True)
+        line = (f"{name:28s} {dt:8.1f} ms/iter   roofline {roof:7.1f} ms "
+                f"({bound}: mxu {t_mxu:.1f} / hbm {t_hbm:.1f})   "
+                f"ratio {ratio:.2f}")
+        if args.hlo_audit:
+            from stylegan_v_tpu.utils.roofline import effective_mxu_seconds
+            audit = effective_mxu_seconds(lowered.as_text(dialect="hlo"),
+                                          peak_flops=PEAK_FLOPS)
+            t_eff = audit["eff_s"] * 1e3
+            t_ehbm = audit["eff_hbm_s"] * 1e3      # tile-padded IO bytes of
+            # the contraction ops alone (lower bound on true HBM traffic)
+            eroof = max(t_eff, t_hbm, t_ehbm)
+            ebound = ("mxu" if t_eff == eroof
+                      else ("hbm-tiled" if t_ehbm == eroof else "hbm"))
+            eratio = dt / eroof if eroof > 0 else float("nan")
+            line += (f"   | padded mxu {t_eff:.1f} / tiled hbm {t_ehbm:.1f} "
+                     f"-> eff roofline {eroof:.1f} ({ebound}) ratio {eratio:.2f}")
+            if args.top:
+                tops = sorted(audit["ops"], key=lambda o: -o["eff_flops"])
+                for o in tops[:args.top]:
+                    print(f"    {o['kind']:4s} {o['out_dtype']:8s} "
+                          f"M={o['m']:<9d} K={o['k']:<6d} N={o['n']:<5d} "
+                          f"ksp={o['ksp']:<2d} g={o['groups']:<3d} "
+                          f"naive {o['flops'] / PEAK_FLOPS * 1e3:6.2f} ms  "
+                          f"padded {o['eff_flops'] / PEAK_FLOPS * 1e3:6.2f} ms",
+                          flush=True)
+        print(line, flush=True)
         return dt
 
     def gmain_body(k, o):

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""End-to-end quality demo on procedural data: FVD decreasing over training.
+
+Trains the production G/D at 64^2 on the moving-pattern dataset
+(scripts/make_moving_dataset.py) through the REAL pipeline — zip dataset ->
+TrainingDataLoader -> training loop (ADA on, lazy R1, EMA) -> in-training
+FVD every snapshot tick — and reports the FVD-over-training series.
+
+FVD here uses the production flax I3D architecture under FIXED random
+weights (registered via metrics.metric_utils.register_detector): a
+random-feature Frechet distance. It is NOT comparable to Kinetics-I3D FVD
+numbers, but it is a valid convergence witness — it contracts only when
+the generated pixel/motion distribution approaches the data distribution
+through the SAME metric stack (sampling, feature extraction, mean/cov,
+Frechet) the real metric uses. The real-weight path is unchanged and gated
+on the detector files (scripts/fvd_parity.py; no egress in this sandbox —
+reference validates against TF1 I3D, reference README.md:144-145).
+
+    python scripts/train_fvd_demo.py --outdir runs/fvd_demo \\
+        --total-kimg 100 --kimg-per-tick 8
+
+Run record quoted in docs/PERF.md is produced by the default settings.
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_maker():
+    spec = importlib.util.spec_from_file_location(
+        "make_moving_dataset",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "make_moving_dataset.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def register_random_i3d(seed: int, num_frames: int, res: int,
+                        resize224: bool) -> None:
+    """Override the 'i3d' detector with the flax I3D under fixed random
+    weights. resize224=False runs the (fully convolutional) I3D at the
+    dataset's native resolution — ~12x cheaper at 64^2 and just as valid
+    for a random-feature distance."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_v_tpu.metrics import metric_utils
+    from stylegan_v_tpu.metrics.detectors_flax.i3d import (InceptionI3d,
+                                                           i3d_features_fn)
+
+    model = InceptionI3d()
+    dummy = jnp.zeros((1, num_frames, 224 if resize224 else res,
+                       224 if resize224 else res, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy)
+
+    def builder(rescale: bool = True, resize: bool = True,
+                return_features: bool = True, batch_size: int = 16,
+                mesh=None, **_):
+        return i3d_features_fn(variables, batch_size=batch_size, mesh=mesh,
+                               rescale=rescale,
+                               resize=resize and resize224,
+                               return_features=return_features)
+
+    metric_utils.register_detector("i3d", builder)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--outdir", default="runs/fvd_demo")
+    ap.add_argument("--data", default="data/moving64.zip")
+    ap.add_argument("--videos", type=int, default=512)
+    ap.add_argument("--dataset-frames", type=int, default=32)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--channel-base", type=int, default=8192)
+    ap.add_argument("--total-kimg", type=float, default=100)
+    ap.add_argument("--kimg-per-tick", type=float, default=8.0)
+    ap.add_argument("--snap-ticks", type=int, default=1)
+    ap.add_argument("--fvd-items", type=int, default=256,
+                    help="max_real/num_gen override for the demo-scale FVD")
+    ap.add_argument("--resize224", action="store_true",
+                    help="run I3D at its native 224^2 input (slower)")
+    ap.add_argument("--detector-seed", type=int, default=17)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workers", type=int, default=4)
+    args = ap.parse_args()
+
+    if not os.path.exists(args.data):
+        maker = _load_maker()
+        maker.write_dataset(args.data, args.videos, args.dataset_frames,
+                            args.res, seed=args.seed)
+        print(f"dataset -> {args.data}", flush=True)
+
+    from stylegan_v_tpu.models.config import (MotionConfig, SamplingConfig,
+                                              replace)
+    from stylegan_v_tpu.models import DiscriminatorConfig, GeneratorConfig
+    from stylegan_v_tpu.train_setup import TrainSetup
+    from stylegan_v_tpu.training.augment import AUGPIPE_SPECS, AugmentConfig
+    from stylegan_v_tpu.training.loop import training_loop
+    from stylegan_v_tpu.training.loss import LossConfig
+    from stylegan_v_tpu.training.train_step import (OptimizerConfig,
+                                                    TrainingConfig)
+
+    res, B = args.res, args.batch
+    num_frames_fvd = 16
+    register_random_i3d(args.detector_seed, num_frames_fvd, res,
+                        args.resize224)
+
+    sampling = SamplingConfig(num_frames_per_video=3,
+                              max_num_frames=args.dataset_frames)
+    gen_cfg = replace(GeneratorConfig(), img_resolution=res,
+                      channel_base=args.channel_base, sampling=sampling)
+    disc_cfg = replace(DiscriminatorConfig(), img_resolution=res,
+                       channel_base=args.channel_base, sampling=sampling)
+    setup = TrainSetup(
+        run_dir=args.outdir, desc="fvd-demo-moving64",
+        gen_cfg=gen_cfg, disc_cfg=disc_cfg,
+        loss_cfg=LossConfig(r1_gamma=0.0002 * res ** 2 / B, pl_weight=0.0,
+                            video_consistent_aug=True),
+        train_cfg=TrainingConfig(batch_size=B, ema_kimg=2.0, ada_target=0.6),
+        opt_g=OptimizerConfig(lr=0.0025), opt_d=OptimizerConfig(lr=0.0025),
+        augment_cfg=AugmentConfig(**AUGPIPE_SPECS["bgc"]), augment_p=0.0,
+        dataset_kwargs=dict(path=args.data, sampling=sampling,
+                            max_num_frames=args.dataset_frames),
+        sampling_cfg=sampling, use_fractional_t=True,
+        total_kimg=args.total_kimg, kimg_per_tick=args.kimg_per_tick,
+        snap_ticks=args.snap_ticks, metrics=["fvd2048_16f"],
+        seed=args.seed, num_chips=1, resume=None, freeze_layers=0,
+        num_workers=args.workers,
+        metric_kwargs=dict(max_real_override=args.fvd_items,
+                           num_gen_override=args.fvd_items))
+    training_loop(setup)
+
+    # report the FVD series
+    path = os.path.join(args.outdir, "metric-fvd2048_16f.jsonl")
+    if os.path.exists(path):
+        rows = [json.loads(l) for l in open(path)]
+        series = [(r.get("snapshot_nimg"), r["results"]["fvd2048_16f"])
+                  for r in rows]
+        print("\nFVD (random-feature I3D) over training:")
+        for nimg, fvd in series:
+            print(f"  nimg {nimg:>9}: {fvd:10.2f}")
+        if len(series) >= 2:
+            first, last = series[0][1], series[-1][1]
+            print(f"first -> last: {first:.2f} -> {last:.2f} "
+                  f"({'DECREASED' if last < first else 'did not decrease'})")
+
+
+if __name__ == "__main__":
+    main()

@@ -561,6 +561,12 @@ def compute_feature_stats_for_generator(
     mesh = opts.mesh
     jittable = getattr(detector, "jittable", None)
     batch_videos = max(1, batch_size // num_video_frames)
+    if local_items is not None:
+        # never synthesize more videos per dispatch than the quota needs
+        # (demo/CI runs with small num_gen overrides would otherwise pay the
+        # full production batch, reference metric_utils.py:274 keeps the
+        # fixed batch because its quotas are always >= one batch)
+        batch_videos = min(batch_videos, max(int(local_items), 1))
     frame_shards = 1
     if mesh is not None:
         # round the video batch up to the data-axis size so every jit call

@@ -69,6 +69,9 @@ class TrainSetup:
     disc_source: str = "networks"            # 'networks' | 'mocogan'
     video_discr_lr_multiplier: float = 0.1
     video_discr_num_t_paddings: int = 0
+    # extra kwargs forwarded to metric_main.calc_metric for in-training
+    # metrics (e.g. max_real_override/num_gen_override for demo-scale FVD)
+    metric_kwargs: Optional[Dict[str, Any]] = None
 
 
 def _sampling_from_cfg(s: Dict) -> SamplingConfig:

@@ -361,7 +361,8 @@ def training_loop(setup: TrainSetup,
                     for metric in setup.metrics:
                         r = metric_main.calc_metric(
                             metric=metric, G=G, G_variables=ema_vars,
-                            dataset_kwargs=setup.dataset_kwargs, mesh=mesh)
+                            dataset_kwargs=setup.dataset_kwargs, mesh=mesh,
+                            **(setup.metric_kwargs or {}))
                         metric_main.report_metric(r, run_dir=run_dir,
                                                   snapshot_nimg=cur_nimg)
                         log(f"  {metric}: {r['results']}")
