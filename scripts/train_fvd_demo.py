@@ -88,10 +88,23 @@ def main():
                     help="max_real/num_gen override for the demo-scale FVD")
     ap.add_argument("--resize224", action="store_true",
                     help="run I3D at its native 224^2 input (slower)")
+    ap.add_argument("--augpipe", default="bgc",
+                    help="ADA augment pipe spec name (training/augment.py "
+                         "AUGPIPE_SPECS) or 'none'; 'blit' keeps ADA live "
+                         "but drops the geometric warp — useful on hosts "
+                         "where the warp graph's XLA:CPU compile dominates "
+                         "(the CI miniature run)")
     ap.add_argument("--detector-seed", type=int, default=17)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--resume", default=None,
+                    help="'latest' resumes the newest snapshot in --outdir")
+    ap.add_argument("--no-compile-cache", action="store_true")
     args = ap.parse_args()
+
+    if not args.no_compile_cache:
+        from stylegan_v_tpu.utils.misc import enable_compile_cache
+        enable_compile_cache()
 
     if not os.path.exists(args.data):
         maker = _load_maker()
@@ -125,15 +138,19 @@ def main():
         gen_cfg=gen_cfg, disc_cfg=disc_cfg,
         loss_cfg=LossConfig(r1_gamma=0.0002 * res ** 2 / B, pl_weight=0.0,
                             video_consistent_aug=True),
-        train_cfg=TrainingConfig(batch_size=B, ema_kimg=2.0, ada_target=0.6),
+        train_cfg=TrainingConfig(
+            batch_size=B, ema_kimg=2.0,
+            ada_target=None if args.augpipe == "none" else 0.6),
         opt_g=OptimizerConfig(lr=0.0025), opt_d=OptimizerConfig(lr=0.0025),
-        augment_cfg=AugmentConfig(**AUGPIPE_SPECS["bgc"]), augment_p=0.0,
+        augment_cfg=(None if args.augpipe == "none"
+                     else AugmentConfig(**AUGPIPE_SPECS[args.augpipe])),
+        augment_p=0.0,
         dataset_kwargs=dict(path=args.data, sampling=sampling,
                             max_num_frames=args.dataset_frames),
         sampling_cfg=sampling, use_fractional_t=True,
         total_kimg=args.total_kimg, kimg_per_tick=args.kimg_per_tick,
         snap_ticks=args.snap_ticks, metrics=["fvd2048_16f"],
-        seed=args.seed, num_chips=1, resume=None, freeze_layers=0,
+        seed=args.seed, num_chips=1, resume=args.resume, freeze_layers=0,
         num_workers=args.workers,
         metric_kwargs=dict(max_real_override=args.fvd_items,
                            num_gen_override=args.fvd_items))

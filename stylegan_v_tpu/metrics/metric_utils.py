@@ -29,6 +29,17 @@ from typing import Any, Callable, Dict, Optional
 import numpy as np
 
 
+def _vlog(msg: str) -> None:
+    """Opt-in stage telemetry (SGV_METRIC_VERBOSE=1): metric extraction over
+    a tunnel-attached chip interleaves multi-minute jit compiles with slow
+    host<->device transfers, and a silent 30-minute eval is indistinguishable
+    from a hang without these lines. stderr, timestamped, flushed."""
+    if os.environ.get("SGV_METRIC_VERBOSE"):
+        import sys
+        import time as _time
+        print(f"[metric {_time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
 
 @dataclass
 class MetricOptions:
@@ -500,7 +511,10 @@ def compute_feature_stats_for_dataset(
     # round-robin item sharding (reference metric_utils.py:230)
     item_subset = [(i * opts.num_replicas + opts.replica) % num_items
                    for i in range((num_items - 1) // opts.num_replicas + 1)]
+    _vlog(f"real[{detector_name}]: {len(item_subset)} items, "
+          f"batch {batch_size}")
     batch = []
+    nb = 0
     for item in _iter_items_threaded(dataset, item_subset):
         img = item["image"]
         if not temporal_detector and img.ndim == 4:
@@ -508,11 +522,15 @@ def compute_feature_stats_for_dataset(
         batch.append(img)
         if len(batch) == batch_size:
             stats.append(detector(np.stack(batch)))
+            nb += 1
+            if nb in (1, 2) or nb % 16 == 0:
+                _vlog(f"real batch {nb} done ({stats.num_items} items)")
             batch = []
             if stats.is_full():
                 break
     if batch and not stats.is_full():
         stats.append(detector(np.stack(batch)))
+    _vlog(f"real[{detector_name}]: done ({stats.num_items} items)")
     dataset.close()
 
     if multi_process:
@@ -613,6 +631,10 @@ def compute_feature_stats_for_generator(
                  x, NamedSharding(mesh, PartitionSpec("data", "frame"))))
              if mesh is not None and frame_shards > 1 else put)
 
+    _vlog(f"gen[{detector_name}]: target {local_items} items, "
+          f"batch {batch_videos} videos x {num_video_frames}f, "
+          f"fused={mesh is not None and jittable is not None}")
+    nb = 0
     while not stats.is_full():
         key, sub = jax.random.split(key)
         z = put(jax.random.normal(sub, (batch_videos, cfg.z_dim)))
@@ -627,6 +649,10 @@ def compute_feature_stats_for_generator(
                                     (batch_videos, L, cfg.motion.z_dim)))
               if cfg.has_motion else None)
         stats.append(np.asarray(run(z, c_j, t, mz)))
+        nb += 1
+        if nb in (1, 2) or nb % 16 == 0:
+            _vlog(f"gen batch {nb} done ({stats.num_items} items)")
+    _vlog(f"gen[{detector_name}]: done ({stats.num_items} items)")
     dataset.close()
 
     if multi_process:

@@ -10,6 +10,7 @@ Reference parity map:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Sequence
 
 
@@ -82,3 +83,27 @@ def parse_padding(padding) -> List[int]:
         padding = [px, px, py, py]
     px0, px1, py0, py1 = padding
     return [int(px0), int(px1), int(py0), int(py1)]
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None,
+                         min_compile_secs: float = 5.0) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    The large programs here (train step with the ADA pipe, fused
+    G+detector metric extraction, I3D features) take minutes to compile;
+    over a tunnel-attached chip the compile runs on the local host and a
+    killed/restarted run pays it again. The persistent cache keys on
+    HLO + compile options, so code or shape changes recompile as usual.
+    No reference counterpart (torch extensions cache objects per source
+    hash, reference torch_utils/custom_ops.py); this is the XLA analog.
+    Call BEFORE the first jit dispatch. Returns the cache dir used.
+    """
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "stylegan_v_tpu", "xla-cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache_dir

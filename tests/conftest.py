@@ -20,3 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the big programs (train step with the ADA
+# pipe, metric extraction) take minutes to compile on a 1-core XLA:CPU
+# host and dominate suite wall-clock; repeat runs hit the cache instead.
+# Keyed by HLO + compile options, so code changes recompile as usual.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

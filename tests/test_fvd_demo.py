@@ -31,6 +31,10 @@ def test_fvd_demo_miniature(tmp_path, monkeypatch):
         "--batch", "4", "--channel-base", "1024",
         "--total-kimg", "0.02", "--kimg-per-tick", "0.008",
         "--snap-ticks", "1", "--fvd-items", "4", "--workers", "2",
+        # blit pipe: ADA stays live but the geometric-warp graph (whose
+        # XLA:CPU compile dominates on 1-core CI hosts) is dropped; the
+        # production TPU run keeps the full bgc pipe
+        "--augpipe", "blit",
     ])
     demo.main()
 
