@@ -608,18 +608,37 @@ def compute_feature_stats_for_generator(
             img = img.reshape(batch_videos, num_video_frames, *img.shape[1:])
         return img
 
-    if mesh is not None and jittable is not None:
+    if (mesh is not None and jittable is not None
+            and not os.environ.get("SGV_METRIC_NO_FUSE")):
         # the BASELINE north star: G synthesis AND detector forward fused in
         # ONE jitted program, batch sharded over the mesh 'data' axis.
+        # SGV_METRIC_NO_FUSE=1 opts out: the fused program is the fastest
+        # steady-state extractor but its one-off compile is the largest in
+        # the repo, and on a 1-core tunnel host the unfused path (separate
+        # synth jit + detector program, the latter usually already compiled
+        # by the real-stats pass) reaches first results much sooner.
         @jax.jit
         def synth_feat(z, c, t, mz):
             return jittable(synth_body(z, c, t, mz))
         run = synth_feat
+        run_mode = "fused"
+    elif jittable is not None:
+        # two programs with a device-resident handoff: all the throughput of
+        # staying on-chip (no host round trip of the synthesized frames,
+        # which over a tunnel attachment costs seconds per batch) at a
+        # fraction of the fused program's compile time
+        synth = jax.jit(synth_body)
+        feat = jax.jit(jittable)
+
+        def run(z, c, t, mz):
+            return feat(synth(z, c, t, mz))
+        run_mode = "two-program"
     else:
         synth = jax.jit(synth_body)
 
         def run(z, c, t, mz):
             return detector(np.asarray(synth(z, c, t, mz)))
+        run_mode = "host-detector"
 
     from jax.sharding import NamedSharding, PartitionSpec
     put = ((lambda x: jax.device_put(x, NamedSharding(mesh, PartitionSpec("data"))))
@@ -633,7 +652,7 @@ def compute_feature_stats_for_generator(
 
     _vlog(f"gen[{detector_name}]: target {local_items} items, "
           f"batch {batch_videos} videos x {num_video_frames}f, "
-          f"fused={mesh is not None and jittable is not None}")
+          f"mode={run_mode}")
     nb = 0
     while not stats.is_full():
         key, sub = jax.random.split(key)

@@ -22,6 +22,10 @@ def _load_demo():
 
 @pytest.mark.slow
 def test_fvd_demo_miniature(tmp_path, monkeypatch):
+    # unfused metric extraction: the fused G+I3D program's XLA compile
+    # takes tens of minutes on a 1-core CI host (the fused path has its own
+    # dedicated tests, tests/test_sharded_metrics.py)
+    monkeypatch.setenv("SGV_METRIC_NO_FUSE", "1")
     demo = _load_demo()
     outdir = str(tmp_path / "run")
     data = str(tmp_path / "mv.zip")

@@ -255,3 +255,31 @@ def test_frame_sharded_128f_generator_stats_match_1d(ds_path):
     assert flat.num_items == sharded.num_items == 4
     np.testing.assert_allclose(sharded.get_all(), flat.get_all(),
                                rtol=1e-4, atol=1e-5)
+
+def test_no_fuse_two_program_matches_fused(ds_path, monkeypatch):
+    """SGV_METRIC_NO_FUSE=1 swaps the fused z->G->detector program for two
+    jitted programs with a device-resident handoff; stats must be identical
+    (same RNG stream, same math — only the program boundary moves)."""
+    from stylegan_v_tpu.models import Generator
+    from test_models import small_gen_cfg
+    cfg = small_gen_cfg(**{"img_resolution": 16, "channel_base": 512})
+    G = Generator(cfg)
+    z = jnp.zeros((1, cfg.z_dim))
+    t = jnp.zeros((1, 2))
+    variables = jax.jit(lambda r, z, t: G.init(r, z, None, t, noise_mode="none"))(
+        {"params": jax.random.PRNGKey(0), "motion": jax.random.PRNGKey(1)}, z, t)
+
+    kw = dict(detector_name="jit_vid", detector_kwargs={},
+              capture_mean_cov=True, capture_all=True, max_items=16,
+              num_video_frames=2, temporal_detector=True, batch_size=16)
+    mesh = create_mesh(frame=1)
+    opts = lambda: MetricOptions(G=G, G_variables=variables, cache=False,
+                                 dataset_kwargs=dataset_kwargs(ds_path),
+                                 mesh=mesh)
+    fused = compute_feature_stats_for_generator(opts(), **kw)
+    monkeypatch.setenv("SGV_METRIC_NO_FUSE", "1")
+    two_prog = compute_feature_stats_for_generator(opts(), **kw)
+
+    assert fused.num_items == two_prog.num_items == 16
+    np.testing.assert_allclose(two_prog.get_all(), fused.get_all(),
+                               rtol=1e-4, atol=1e-5)
