@@ -106,6 +106,12 @@ def main():
         from stylegan_v_tpu.utils.misc import enable_compile_cache
         enable_compile_cache()
 
+    # stall watchdog: periodic all-thread tracebacks to stderr (repeat=True)
+    # — over a tunnel attachment a multi-minute silent phase is routine and
+    # this is the only way to tell compile from hang after the fact
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True)
+
     if not os.path.exists(args.data):
         maker = _load_maker()
         maker.write_dataset(args.data, args.videos, args.dataset_frames,

@@ -98,6 +98,7 @@ def load_snapshot(path: str, target=None) -> Tuple[Any, Dict]:
     pytree structure/dtypes to restore into."""
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)       # orbax/tensorstore rejects relative paths
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         restored = ckptr.restore(path, item=_to_pure(target))

@@ -137,9 +137,16 @@ class InceptionI3d(nn.Module):
 
         # VALID avg pool (2,7,7) stride 1, then global mean over remaining
         # spatiotemporal positions (the pytorch_i3d 'extract features' head).
+        # The window is clamped to the actual extent: at the reference's
+        # 224^2 input Mixed_5c is [T=2,7,7] and the clamp is a no-op
+        # (bit-identical to the TorchScript head), but fully-convolutional
+        # native-res extraction below 224^2 (e.g. 64^2 -> [2,2,2]) would
+        # otherwise make the VALID window produce a ZERO-SIZE output whose
+        # global mean is NaN — poisoning FVD stats downstream.
+        win = (min(2, x.shape[1]), min(7, x.shape[2]), min(7, x.shape[3]))
         x = jax.lax.reduce_window(
-            x, 0.0, jax.lax.add, (1, 2, 7, 7, 1), (1, 1, 1, 1, 1), "VALID")
-        x = x / (2 * 7 * 7)
+            x, 0.0, jax.lax.add, (1, *win, 1), (1, 1, 1, 1, 1), "VALID")
+        x = x / (win[0] * win[1] * win[2])
         feats = jnp.mean(x, axis=(1, 2, 3))                # [N, 1024]
         if return_features:
             return feats

@@ -36,6 +36,7 @@ def compute_fvd(opts, max_real, num_gen, num_frames: int,
         detector_kwargs=detector_kwargs, capture_mean_cov=True,
         max_items=max_real, temporal_detector=True,
         batch_size=max(1, batch_size // num_frames)).get_mean_cov()
+    metric_utils._vlog("fvd: real mean/cov ready")
 
     if opts.generator_as_dataset:
         gen_opts = metric_utils.rewrite_opts_for_gen_dataset(opts)
@@ -57,7 +58,10 @@ def compute_fvd(opts, max_real, num_gen, num_frames: int,
             num_video_frames=num_frames, subsample_factor=subsample_factor,
             batch_size=batch_size)
     mu_gen, sigma_gen = stats.get_mean_cov()
+    metric_utils._vlog("fvd: gen mean/cov ready, computing frechet distance")
 
     if opts.rank != 0:
         return float("nan")
-    return frechet_distance(mu_real, sigma_real, mu_gen, sigma_gen)
+    fvd = frechet_distance(mu_real, sigma_real, mu_gen, sigma_gen)
+    metric_utils._vlog(f"fvd: {fvd:.4f}")
+    return fvd

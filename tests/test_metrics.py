@@ -150,3 +150,50 @@ def test_registry_and_report(tmp_path):
     rec = json.loads(open(tmp_path / "metric-fvd2048_16f.jsonl").read())
     assert rec["snapshot"] == "network-snapshot-000005"
     assert rec["results"]["fvd2048_16f"] == 123.0
+
+def test_frechet_distance_eigh_matches_sqrtm():
+    """The default eigh formulation equals the reference sqrtm formulation
+    (same math, different factorization) on full-rank AND rank-deficient
+    covariances — rank deficiency is the NORM (num_items < num_features in
+    every demo/CI run) and is what sends scipy's Schur sqrtm into its
+    minutes-long path."""
+    rng = np.random.RandomState(3)
+    for n_items in (2048, 200):              # full-rank / rank-deficient
+        X = rng.randn(n_items, 256)
+        Y = rng.randn(n_items, 256) * 1.3 + 0.2
+        mu_r, sig_r = X.mean(0), np.cov(X, rowvar=False, bias=True)
+        mu_g, sig_g = Y.mean(0), np.cov(Y, rowvar=False, bias=True)
+        d_e = frechet_distance(mu_r, sig_r, mu_g, sig_g, method="eigh")
+        d_s = frechet_distance(mu_r, sig_r, mu_g, sig_g, method="sqrtm")
+        assert abs(d_e - d_s) <= 1e-5 * max(abs(d_s), 1.0), (n_items, d_e, d_s)
+
+
+def test_frechet_distance_nonfinite_guard():
+    """Non-finite moments (detector overflow) must return +inf, not hang
+    LAPACK (the round-4 sqrtm-on-NaN stall)."""
+    mu = np.zeros(8)
+    sigma = np.eye(8)
+    bad = sigma.copy()
+    bad[0, 0] = np.nan
+    assert frechet_distance(mu, bad, mu, sigma) == float("inf")
+    assert frechet_distance(mu + np.inf, sigma, mu, sigma) == float("inf")
+
+
+def test_i3d_native_res_features_finite():
+    """Fully-convolutional I3D feature extraction below 224^2 must produce
+    finite features: the head's VALID (2,7,7) avg-pool window is clamped to
+    the actual extent (at 64^2 Mixed_5c is [2,2,2]; the unclamped window
+    yielded a ZERO-SIZE output whose mean is NaN — the round-4 FVD-demo
+    covariance poisoning). At 224^2 the clamp is a no-op."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_v_tpu.metrics.detectors_flax.i3d import InceptionI3d
+
+    model = InceptionI3d()
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (1, 16, 64, 64, 3)), jnp.float32) * (2.0 / 255.0) - 1.0
+    variables = model.init(jax.random.PRNGKey(17), x)
+    feats = np.asarray(model.apply(variables, x, return_features=True))
+    assert feats.shape == (1, 1024)
+    assert np.isfinite(feats).all()
+    assert np.abs(feats).max() > 0
