@@ -166,7 +166,7 @@ def main():
     path = os.path.join(args.outdir, "metric-fvd2048_16f.jsonl")
     if os.path.exists(path):
         rows = [json.loads(l) for l in open(path)]
-        series = [(r.get("snapshot_nimg"), r["results"]["fvd2048_16f"])
+        series = [(r.get("snapshot_nimg", -1), r["results"]["fvd2048_16f"])
                   for r in rows]
         print("\nFVD (random-feature I3D) over training:")
         for nimg, fvd in series:

@@ -107,6 +107,8 @@ def report_metric(result_dict: Dict, run_dir: Optional[str] = None,
     rec["snapshot"] = snapshot_pkl or (
         f"network-snapshot-{snapshot_nimg // 1000:06d}"
         if snapshot_nimg is not None else None)
+    if snapshot_nimg is not None:
+        rec["snapshot_nimg"] = int(snapshot_nimg)
     rec["timestamp"] = time.time()
     if run_dir is not None:
         os.makedirs(run_dir, exist_ok=True)
