@@ -94,6 +94,14 @@ def main():
                          "but drops the geometric warp — useful on hosts "
                          "where the warp graph's XLA:CPU compile dominates "
                          "(the CI miniature run)")
+    ap.add_argument("--lr", type=float, default=0.0025)
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="R1 gamma; default = the 0.0002*res^2/B auto "
+                         "heuristic. The 48-kimg round-4 record ran the "
+                         "auto value (0.051 at 64^2/16) and never entered "
+                         "a converging regime; small-data runs want a "
+                         "stronger D regularizer.")
+    ap.add_argument("--ada-target", type=float, default=0.6)
     ap.add_argument("--detector-seed", type=int, default=17)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=4)
@@ -142,12 +150,14 @@ def main():
     setup = TrainSetup(
         run_dir=args.outdir, desc="fvd-demo-moving64",
         gen_cfg=gen_cfg, disc_cfg=disc_cfg,
-        loss_cfg=LossConfig(r1_gamma=0.0002 * res ** 2 / B, pl_weight=0.0,
-                            video_consistent_aug=True),
+        loss_cfg=LossConfig(
+            r1_gamma=(args.gamma if args.gamma is not None
+                      else 0.0002 * res ** 2 / B),
+            pl_weight=0.0, video_consistent_aug=True),
         train_cfg=TrainingConfig(
             batch_size=B, ema_kimg=2.0,
-            ada_target=None if args.augpipe == "none" else 0.6),
-        opt_g=OptimizerConfig(lr=0.0025), opt_d=OptimizerConfig(lr=0.0025),
+            ada_target=None if args.augpipe == "none" else args.ada_target),
+        opt_g=OptimizerConfig(lr=args.lr), opt_d=OptimizerConfig(lr=args.lr),
         augment_cfg=(None if args.augpipe == "none"
                      else AugmentConfig(**AUGPIPE_SPECS[args.augpipe])),
         augment_p=0.0,
