@@ -258,6 +258,14 @@ def main():
         _emit(out)
         return
     try:
+        # persistent XLA compile cache: a warm-up run in the same container
+        # (or a prior driver run) makes this invocation skip the multi-minute
+        # FFS-256 compiles entirely — shrinking the flaky-attach window.
+        from stylegan_v_tpu.utils.misc import enable_compile_cache
+        enable_compile_cache()
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+    try:
         # headline: the ACTUAL BASELINE FFS-256 generator (fmaps=0.5 — the
         # reference's auto spec at 256^2, train.py:158,167; VERDICT r2 task 8)
         frames_per_sec, mfu = bench_synthesis(channel_base=16384)
