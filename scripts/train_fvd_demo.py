@@ -95,13 +95,24 @@ def main():
                          "where the warp graph's XLA:CPU compile dominates "
                          "(the CI miniature run)")
     ap.add_argument("--lr", type=float, default=0.0025)
-    ap.add_argument("--gamma", type=float, default=None,
-                    help="R1 gamma; default = the 0.0002*res^2/B auto "
-                         "heuristic. The 48-kimg round-4 record ran the "
-                         "auto value (0.051 at 64^2/16) and never entered "
-                         "a converging regime; small-data runs want a "
-                         "stronger D regularizer.")
+    ap.add_argument("--gamma", type=float, default=1.0,
+                    help="R1 gamma. Pass 0 for the 0.0002*res^2/B auto "
+                         "heuristic (reference train.py cfg_specs) — the "
+                         "round-5 bisect (scripts/diag_dynamics.py, "
+                         "docs/PERF.md) showed the auto value (0.051 at "
+                         "64^2/16) lets D run away on this 512-video set; "
+                         "gamma=1 + augment p~0.4 restores equilibrium.")
     ap.add_argument("--ada-target", type=float, default=0.6)
+    ap.add_argument("--ada-kimg", type=float, default=50.0,
+                    help="ADA ramp speed: kimg for p to move one unit. The "
+                         "reference default 500 (training_loop.py:121) is "
+                         "tuned for 25000-kimg runs; a demo-scale budget "
+                         "needs the controller to reach a useful p within "
+                         "tens of kimg.")
+    ap.add_argument("--augment-p", type=float, default=0.2,
+                    help="initial ADA p (the round-4 run started at 0 and "
+                         "the controller never caught up with D; see "
+                         "scripts/diag_dynamics.py bisect in docs/PERF.md)")
     ap.add_argument("--detector-seed", type=int, default=17)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=4)
@@ -151,16 +162,16 @@ def main():
         run_dir=args.outdir, desc="fvd-demo-moving64",
         gen_cfg=gen_cfg, disc_cfg=disc_cfg,
         loss_cfg=LossConfig(
-            r1_gamma=(args.gamma if args.gamma is not None
+            r1_gamma=(args.gamma if args.gamma > 0
                       else 0.0002 * res ** 2 / B),
             pl_weight=0.0, video_consistent_aug=True),
         train_cfg=TrainingConfig(
-            batch_size=B, ema_kimg=2.0,
+            batch_size=B, ema_kimg=2.0, ada_kimg=args.ada_kimg,
             ada_target=None if args.augpipe == "none" else args.ada_target),
         opt_g=OptimizerConfig(lr=args.lr), opt_d=OptimizerConfig(lr=args.lr),
         augment_cfg=(None if args.augpipe == "none"
                      else AugmentConfig(**AUGPIPE_SPECS[args.augpipe])),
-        augment_p=0.0,
+        augment_p=(0.0 if args.augpipe == "none" else args.augment_p),
         dataset_kwargs=dict(path=args.data, sampling=sampling,
                             max_num_frames=args.dataset_frames),
         sampling_cfg=sampling, use_fractional_t=True,
