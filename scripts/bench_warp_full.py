@@ -75,7 +75,10 @@ def main():
     # every config (158.0->158.9, 206.8->206.5), so it is not swept here.
     # sel sweeps the residual-shift executor: barrel = log2 two-way selects,
     # loop = dense masked accumulate over rmax+1 positions.
-    configs = [("onehot", "grouped", "barrel"),
+    # dense = the round-5 lane-dense barrel (payload packed [B, L, N*C],
+    # full 128-lane tiles, no stage-2 transposes, no grouping)
+    configs = [("onehot", "dense", "-"),
+               ("onehot", "grouped", "barrel"),
                ("onehot", "grouped", "loop"),
                ("onehot", "slice", "-"), ("gather", "slice", "-")]
     for s1, s2, sel in configs:

@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--dataset-frames", type=int, default=32)
     ap.add_argument("--fvd-items", type=int, default=256)
     ap.add_argument("--detector-seed", type=int, default=17)
+    ap.add_argument("--out-jsonl", default=None,
+                    help="metric jsonl to read/append (default: the run's "
+                         "metric-fvd2048_16f.jsonl). For the multi-seed "
+                         "stability check, point each detector seed at its "
+                         "own file, e.g. metric-fvd2048_16f.seed18.jsonl")
+    ap.add_argument("--force", action="store_true",
+                    help="re-score snapshots even if already recorded")
     args = ap.parse_args()
 
     from stylegan_v_tpu.utils.misc import enable_compile_cache
@@ -41,9 +48,10 @@ def main():
     demo.register_random_i3d(args.detector_seed, 16, args.res,
                              resize224=False)
 
-    jsonl = os.path.join(args.outdir, "metric-fvd2048_16f.jsonl")
+    jsonl = (args.out_jsonl if args.out_jsonl is not None
+             else os.path.join(args.outdir, "metric-fvd2048_16f.jsonl"))
     have = set()
-    if os.path.exists(jsonl):
+    if os.path.exists(jsonl) and not args.force:
         for line in open(jsonl):
             have.add(json.loads(line).get("snapshot"))
 
@@ -76,9 +84,14 @@ def main():
                                 max_num_frames=args.dataset_frames),
             max_real_override=args.fvd_items,
             num_gen_override=args.fvd_items)
-        metric_main.report_metric(r, run_dir=args.outdir,
-                                  snapshot_nimg=kimg * 1000)
-        print(f"{name}: {r['results']}", flush=True)
+        rec = dict(r)
+        rec["snapshot"] = name
+        rec["snapshot_nimg"] = kimg * 1000
+        rec["detector_seed"] = args.detector_seed
+        rec["timestamp"] = __import__("time").time()
+        with open(jsonl, "at") as f:
+            f.write(json.dumps(rec, default=float) + "\n")
+        print(f"{name}: {r['results']} (seed {args.detector_seed})", flush=True)
 
 
 if __name__ == "__main__":

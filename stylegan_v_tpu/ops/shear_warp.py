@@ -50,7 +50,13 @@ SHEAR_MAX = 2.0     # |shear slope| clamp after the rot90 conditioning
 # dynamic slices per group + a dense bounded-window select instead of
 # per-line gathers).
 STAGE1_IMPL = os.environ.get("SGV_SHEAR_STAGE1", "onehot")   # onehot | gather
-STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "grouped")  # grouped | slice
+# dense | grouped | slice — "dense" is the round-5 lane-dense executor (see
+# _shift_lines_dense): the grouped executor's select/lerp tensors end in
+# C=9 lanes (7% of the 128-lane VPU tile), which dominated the measured
+# warp cost; dense keeps the payload packed [B, L, N*C] (full lanes),
+# resolves the WHOLE integer shift as a barrel over the sublane axis, and
+# needs no pre/post transposes in the shear passes.
+STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "grouped")
 # residual-shift executor inside the grouped stage-2: "barrel" resolves the
 # bounded residual in ceil(log2(rmax+1)) two-way select passes (a barrel
 # shifter over the coarse window); "loop" is the round-3 dense
@@ -264,6 +270,86 @@ def _shift_lines(x, k, frac, out_len, slope_bound):
     return _integer_shift_lines(x, k, frac, out_len)
 
 
+# --------------- lane-dense per-line shift (round-5 executor) ---------------
+
+def _shift_lines_dense_impl(x: jax.Array, k: jax.Array, frac: jax.Array,
+                            out_len: int) -> jax.Array:
+    """EXACT per-line fractional shift in the LANE-DENSE layout.
+
+    x [B, L, N, C] — shift runs along axis 1 (L); each line n has its own
+    integer start k [B, N] and fractional tap frac [B, N]. Semantics match
+    `_integer_shift_lines` on the transposed tensor:
+        out[b, i, n, :] = lerp(x[b, kc+i, n, :], x[b, kc+i+1, n, :], frac),
+        kc = clip(k, 0, L - out_len - 1).
+
+    Why this layout: TPU vector tiles are (sublane=8, lane=128) over the two
+    minor axes. The grouped executor's tensors end in C (= 3..9 folded RGB
+    channels), so every select/lerp moves 119/128 dead lanes; here the two
+    minor axes are (N, C) packed to N*C (thousands of full lanes) and the
+    shift axis L sits on sublanes. The whole integer shift resolves as a
+    barrel shifter over L — ceil(log2(kmax+1)) two-way selects between two
+    STATIC slices of the same tensor, with the per-line predicate broadcast
+    along lanes — so there are no gathers, no per-line dynamic slices, and
+    no slope-bound/grouping assumptions at all (any k in range is exact).
+    """
+    B, L, N, C = x.shape
+    kmax = max(L - out_len - 1, 0)
+    k = jnp.clip(k, 0, kmax)
+    nbits = max(kmax.bit_length(), 1) if kmax > 0 else 0
+    xf = x.reshape(B, L, N * C)
+    # lane vectors: repeat per-line scalars across the C channels
+    k_l = jnp.repeat(k, C, axis=1)[:, None, :]                   # [B, 1, N*C]
+    f_l = jnp.repeat(frac, C, axis=1)[:, None, :].astype(x.dtype)
+    # pad L so every barrel slice is statically in-bounds: the window before
+    # resolving bit j is out_len + 1 + (2^(j+1) - 1)
+    Lpad = out_len + 1 + ((1 << nbits) - 1)
+    if Lpad > L:
+        xf = jnp.pad(xf, ((0, 0), (0, Lpad - L), (0, 0)))
+    cur = xf
+    for j in reversed(range(nbits)):
+        step = 1 << j
+        newlen = out_len + 1 + (step - 1)
+        bit = (k_l & step) != 0
+        hi = jax.lax.slice_in_dim(cur, step, step + newlen, axis=1)
+        lo = jax.lax.slice_in_dim(cur, 0, newlen, axis=1)
+        cur = jnp.where(bit, hi, lo)
+    out = cur[:, :out_len] * (1 - f_l) + cur[:, 1:out_len + 1] * f_l
+    return out.reshape(B, out_len, N, C)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def shift_lines_dense(x, k, frac, out_len):
+    """Lane-dense shift with the transposed-shift custom VJP (same linear-
+    operator argument as `_shift_lines_grouped`: out = A_{k,f} x with A a
+    per-line 2-tap band, so dx = A^T g — one more dense shift of the
+    zero-padded cotangent with start (pad-1) - k and swapped taps; dfrac is
+    the first-difference window contracted against g)."""
+    return _shift_lines_dense_impl(x, k, frac, out_len)
+
+
+def _shift_lines_dense_fwd(x, k, frac, out_len):
+    return _shift_lines_dense_impl(x, k, frac, out_len), (x, k, frac)
+
+
+def _shift_lines_dense_bwd(out_len, res, g):
+    import numpy as np
+    x, k, frac = res
+    L = x.shape[1]
+    pad = L - out_len
+    kc = jnp.clip(k, 0, L - out_len - 1)
+    gpad = jnp.pad(g, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    dx = _shift_lines_dense_impl(gpad, (pad - 1) - kc, 1.0 - frac, L)
+    dxd = jnp.pad(jnp.diff(x, axis=1), ((0, 0), (0, 1), (0, 0), (0, 0)))
+    win = _shift_lines_dense_impl(dxd, kc, jnp.zeros_like(frac), out_len)
+    dfrac = jnp.sum((g * win).astype(jnp.float32), axis=(1, 3)).astype(
+        frac.dtype)
+    dk = np.zeros(k.shape, jax.dtypes.float0)
+    return dx, dk, dfrac
+
+
+shift_lines_dense.defvjp(_shift_lines_dense_fwd, _shift_lines_dense_bwd)
+
+
 def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
                              out_h: int, out_w: int) -> jax.Array:
     """Drop-in for ops.grid_sample.affine_grid_sample(mode='reflect') built
@@ -349,11 +435,15 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     pos = q + J0
     k = jnp.floor(pos).astype(jnp.int32)
     frac = pos - jnp.floor(pos)
-    zt = jnp.swapaxes(z, 1, 2)                                  # [B, W, Lz, C]
-    # pass-V shift slope |dq/dx| = |c1/d1| <= 1 * SCALE_MAX (conditioning
-    # guarantees |c1| <= 1; 1/|d1| floored at 1/SCALE_MAX)
-    mid = _shift_lines(zt, k, frac, out_h, slope_bound=SCALE_MAX)
-    mid = jnp.swapaxes(mid, 1, 2)                               # [B, out_h, W, C]
+    if STAGE2_IMPL == "dense":
+        # lane-dense: shift along axis 1 of z directly — no transposes
+        mid = shift_lines_dense(z, k, frac, out_h)              # [B, out_h, W, C]
+    else:
+        zt = jnp.swapaxes(z, 1, 2)                              # [B, W, Lz, C]
+        # pass-V shift slope |dq/dx| = |c1/d1| <= 1 * SCALE_MAX (conditioning
+        # guarantees |c1| <= 1; 1/|d1| floored at 1/SCALE_MAX)
+        mid = _shift_lines(zt, k, frac, out_h, slope_bound=SCALE_MAX)
+        mid = jnp.swapaxes(mid, 1, 2)                           # [B, out_h, W, C]
 
     # ======================= PASS H (horizontal) ==========================
     # p(x_out, y) = a_h*x_out + r_y,  r_y = b_h*y + tx (+pad)
@@ -367,7 +457,6 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     # stage 1 needs x as the indexed axis with shared idx: [B, Wp, out_h*C]
     mt = jnp.swapaxes(mp, 1, 2).reshape(B, Wp, out_h * C)
     z2 = _resample_lines(mt, shift=r_mid - a_h * J0h, scale=a_h, out_len=Lz2)
-    z2 = jnp.swapaxes(z2.reshape(B, Lz2, out_h, C), 1, 2)       # [B, out_h, Lz2, C]
 
     rows = jnp.arange(out_h, dtype=jnp.float32)[None, :]        # [1, out_h]
     q2 = (b_h / a_h)[:, None] * (rows - (out_h - 1.0) / 2.0)    # [B, out_h]
@@ -375,7 +464,16 @@ def shear_affine_grid_sample(images: jax.Array, G_inv: jax.Array,
     pos2 = q2 + J0h
     k2 = jnp.floor(pos2).astype(jnp.int32)
     frac2 = pos2 - jnp.floor(pos2)
-    # pass-H shift slope |dq2/dy| = |b_h/a_h| <= SHEAR_MAX * SCALE_MAX
-    out = _shift_lines(z2, k2, frac2, out_w,
-                       slope_bound=SHEAR_MAX * SCALE_MAX)
+    if STAGE2_IMPL == "dense":
+        # shift along the x axis (axis 1) of the untransposed resample
+        # output; the single remaining transpose runs on the final out-size
+        # tensor
+        z2d = z2.reshape(B, Lz2, out_h, C)
+        out = shift_lines_dense(z2d, k2, frac2, out_w)          # [B, out_w, out_h, C]
+        out = jnp.swapaxes(out, 1, 2)                           # [B, out_h, out_w, C]
+    else:
+        z2t = jnp.swapaxes(z2.reshape(B, Lz2, out_h, C), 1, 2)  # [B, out_h, Lz2, C]
+        # pass-H shift slope |dq2/dy| = |b_h/a_h| <= SHEAR_MAX * SCALE_MAX
+        out = _shift_lines(z2t, k2, frac2, out_w,
+                           slope_bound=SHEAR_MAX * SCALE_MAX)
     return out.astype(dtype)

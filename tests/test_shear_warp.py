@@ -224,3 +224,99 @@ def test_grouped_shift_custom_vjp_matches_autodiff():
     h_new = np.asarray(jax.grad(sq)(x))
     h_ref = np.asarray(jax.grad(sq_ref)(x))
     np.testing.assert_allclose(h_new, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_shift_matches_per_line_reference():
+    """The lane-dense barrel shift (round-5 executor) must reproduce
+    `_integer_shift_lines` EXACTLY on its transposed layout — for ARBITRARY
+    k (it has no slope-bound/grouping assumptions), including the boundary
+    clip."""
+    from stylegan_v_tpu.ops.shear_warp import (_integer_shift_lines,
+                                               shift_lines_dense)
+    rng = np.random.RandomState(3)
+    B, N, L, C, out = 2, 13, 47, 3, 21
+    xt = jnp.asarray(rng.randn(B, N, L, C).astype(np.float32))  # per-line layout
+    x = jnp.swapaxes(xt, 1, 2)                                  # dense layout
+    # arbitrary (non-monotone, out-of-range) starts: clip must engage
+    k = jnp.asarray(rng.randint(-5, L, size=(B, N)), jnp.int32)
+    frac = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    want = np.asarray(_integer_shift_lines(xt, jnp.clip(k, 0, L - out - 1),
+                                           frac, out))
+    got = np.asarray(jnp.swapaxes(shift_lines_dense(x, k, frac, out), 1, 2))
+    np.testing.assert_array_equal(got, want)
+
+    # kmax == 0 degenerate case (out_len == L - 1): pure lerp window
+    got0 = np.asarray(shift_lines_dense(x, jnp.zeros_like(k), frac, L - 1))
+    want0 = np.asarray(jnp.swapaxes(_integer_shift_lines(
+        xt, jnp.zeros_like(k), frac, L - 1), 1, 2))
+    np.testing.assert_array_equal(got0, want0)
+
+
+def test_dense_shift_custom_vjp_matches_autodiff():
+    """dx / dfrac of the lane-dense shift vs autodiff of the per-line form,
+    including a 2nd-order hessian-vector product (R1 differentiates through
+    the augment pipe twice)."""
+    from stylegan_v_tpu.ops.shear_warp import (_integer_shift_lines,
+                                               shift_lines_dense)
+    rng = np.random.RandomState(5)
+    B, N, L, C, out = 2, 9, 37, 3, 18
+    x = jnp.asarray(rng.randn(B, L, N, C).astype(np.float32))
+    xt = jnp.swapaxes(x, 1, 2)
+    k = jnp.asarray(rng.randint(0, L - out - 1, size=(B, N)), jnp.int32)
+    frac = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, out, N, C).astype(np.float32))
+    wt = jnp.swapaxes(w, 1, 2)
+
+    def loss_ref(xt_):
+        return jnp.sum(wt * _integer_shift_lines(xt_, k, frac, out))
+
+    def loss_new(x_):
+        return jnp.sum(w * shift_lines_dense(x_, k, frac, out))
+
+    np.testing.assert_allclose(float(loss_new(x)), float(loss_ref(xt)),
+                               rtol=1e-6)
+    g_ref = np.asarray(jnp.swapaxes(jax.grad(loss_ref)(xt), 1, 2))
+    g_new = np.asarray(jax.grad(loss_new)(x))
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-5, atol=1e-6)
+
+    gf_ref = np.asarray(jax.grad(
+        lambda f: jnp.sum(wt * _integer_shift_lines(xt, k, f, out)))(frac))
+    gf_new = np.asarray(jax.grad(
+        lambda f: jnp.sum(w * shift_lines_dense(x, k, f, out)))(frac))
+    np.testing.assert_allclose(gf_new, gf_ref, rtol=1e-5, atol=1e-5)
+
+    v = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    def sq(x_):
+        g = jax.grad(lambda y: jnp.sum(
+            jnp.square(shift_lines_dense(y, k, frac, out))))(x_)
+        return jnp.sum(g * v)
+
+    def sq_ref(xt_):
+        g = jax.grad(lambda y: jnp.sum(
+            jnp.square(_integer_shift_lines(y, k, frac, out))))(xt_)
+        return jnp.sum(g * jnp.swapaxes(v, 1, 2))
+
+    h_new = np.asarray(jax.grad(sq)(x))
+    h_ref = np.asarray(jnp.swapaxes(jax.grad(sq_ref)(xt), 1, 2))
+    np.testing.assert_allclose(h_new, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_executor_full_warp_equivalence(monkeypatch):
+    """shear_affine_grid_sample under STAGE2_IMPL='dense' must match the
+    grouped executor bit-for-bit at the full-warp level (both are exact
+    reformulations of the same per-line shift)."""
+    import stylegan_v_tpu.ops.shear_warp as sw
+    rng = np.random.RandomState(9)
+    B, H, W, C = 4, 40, 40, 3
+    img = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    th = jnp.asarray([0.4, -1.1, 2.2, 0.0])
+    G = (rotate2d(th)
+         @ scale2d(jnp.asarray([0.9, 1.2, 1.0, 0.7]),
+                   jnp.asarray([1.1, 0.8, 1.3, 1.0]))
+         @ translate2d(0.05 * jnp.ones(4), -0.1 * jnp.ones(4)))
+    monkeypatch.setattr(sw, "STAGE2_IMPL", "grouped")
+    ref = np.asarray(sw.shear_affine_grid_sample(img, G, H, W))
+    monkeypatch.setattr(sw, "STAGE2_IMPL", "dense")
+    got = np.asarray(sw.shear_affine_grid_sample(img, G, H, W))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
