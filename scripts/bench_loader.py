@@ -93,10 +93,16 @@ def bench_loader(data_path: str, batch_size: int, num_workers: int,
 
 
 def bench_train_overlap(data_path: str, batch_size: int, num_workers: int,
-                        steps: int, res: int):
+                        steps: int, res: int, ada: bool = False):
     """Loader-FED training steps: per-step host->device transfer of the NEXT
     batch is dispatched while the CURRENT step runs (double buffering), the
-    production overlap pattern. Returns end-to-end frames/sec."""
+    production overlap pattern. Returns end-to-end frames/sec.
+
+    ada=True runs the bench.py parity configuration (bgc pipe at fixed
+    p=0.5, reference-parity AA warp) so the result is directly comparable
+    to BENCH_r*.json train_frames_per_sec, which is measured with the batch
+    pre-staged on device."""
+    import dataclasses
     import jax
     from stylegan_v_tpu.data import TrainingDataLoader, VideoFramesFolderDataset
     from stylegan_v_tpu.models import (Discriminator, DiscriminatorConfig,
@@ -105,6 +111,8 @@ def bench_train_overlap(data_path: str, batch_size: int, num_workers: int,
     from stylegan_v_tpu.training import (LossConfig, OptimizerConfig,
                                          TrainingConfig, init_train_state,
                                          make_train_step)
+    from stylegan_v_tpu.training.augment import (AUGPIPE_SPECS, AugmentConfig,
+                                                 make_augment_pipe)
 
     gcfg = replace(GeneratorConfig(), img_resolution=res, channel_base=16384)
     dcfg = replace(DiscriminatorConfig(), img_resolution=res,
@@ -112,11 +120,15 @@ def bench_train_overlap(data_path: str, batch_size: int, num_workers: int,
     G, D = Generator(gcfg), Discriminator(dcfg)
     F = gcfg.sampling.num_frames_per_video
     tcfg = TrainingConfig(batch_size=batch_size, ada_target=None)
+    aug = (make_augment_pipe(dataclasses.replace(
+               AugmentConfig(**AUGPIPE_SPECS["bgc"]), warp_upsample=2))
+           if ada else None)
     state = init_train_state(jax.random.PRNGKey(0), G, D, OptimizerConfig(),
-                             OptimizerConfig(), tcfg)
+                             OptimizerConfig(), tcfg,
+                             augment_p=0.5 if ada else 0.0)
     step = make_train_step(G, D, LossConfig(r1_gamma=1.0, pl_weight=0.0),
                            OptimizerConfig(), OptimizerConfig(), tcfg,
-                           donate=False)
+                           augment_fn=aug, donate=False)
 
     ds = VideoFramesFolderDataset(
         path=data_path,
@@ -157,6 +169,10 @@ def main():
     ap.add_argument("--frames-per-video", type=int, default=3)
     ap.add_argument("--train-steps", type=int, default=0,
                     help="also run N loader-fed training steps with overlap")
+    ap.add_argument("--ada", action="store_true",
+                    help="train-steps in the bench.py parity config (bgc "
+                         "pipe, fixed p=0.5, AA warp) for direct comparison "
+                         "with BENCH_r*.json train_frames_per_sec")
     ap.add_argument("--res", type=int, default=256)
     args = ap.parse_args()
 
@@ -182,8 +198,10 @@ def main():
     if args.train_steps > 0:
         try:
             e2e = bench_train_overlap(data, args.batch_size, args.num_workers,
-                                      args.train_steps, args.res)
+                                      args.train_steps, args.res,
+                                      ada=args.ada)
             out["train_fed_frames_per_sec"] = round(e2e, 2)
+            out["train_fed_ada"] = bool(args.ada)
         except Exception as e:  # noqa: BLE001
             out["train_fed_error"] = repr(e)[:300]
 

@@ -26,8 +26,11 @@ def load_series(path: str, metric: str = "fvd2048_16f"):
     rows = [json.loads(l) for l in open(path)]
     out = {}
     for r in rows:
-        if r.get("snapshot_nimg") is not None and metric in r.get("results", {}):
-            out[int(r["snapshot_nimg"])] = float(r["results"][metric])
+        # Key by snapshot NAME: the in-training series records the true
+        # nimg at snapshot time (e.g. 16032) while backfill rescoring
+        # records the name-derived kimg (16000) — names are the join key.
+        if r.get("snapshot") and metric in r.get("results", {}):
+            out[r["snapshot"]] = float(r["results"][metric])
     return out
 
 
@@ -55,8 +58,7 @@ def main():
     series = {p: load_series(p) for p in paths}
     common = sorted(set.intersection(*(set(s) for s in series.values())))
     assert len(common) >= 3, f"only {len(common)} common snapshots"
-    print(f"{len(common)} common snapshots: "
-          f"{common[0]//1000}..{common[-1]//1000} kimg")
+    print(f"{len(common)} common snapshots: {common[0]}..{common[-1]}")
     vals = {p: np.array([series[p][k] for k in common]) for p in paths}
     ok = True
     for i in range(len(paths)):

@@ -69,7 +69,15 @@ def register_random_i3d(seed: int, num_frames: int, res: int,
                                resize=resize and resize224,
                                return_features=return_features)
 
-    metric_utils.register_detector("i3d", builder)
+    # The cache_tag makes the dataset-stats cache key specific to THIS
+    # random projection — without it, rescoring under a different detector
+    # seed silently reuses another seed's cached real stats (caught by the
+    # round-5 multi-seed stability check: the stale-cache series was
+    # anti-correlated with the in-training one).
+    metric_utils.register_detector(
+        "i3d", builder,
+        cache_tag=f"rand-i3d-s{seed}-f{num_frames}-r{res}"
+                  f"-{'224' if resize224 else 'native'}")
 
 
 def main():

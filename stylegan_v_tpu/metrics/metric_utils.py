@@ -252,10 +252,25 @@ DETECTOR_FILES = {
 }
 
 _custom_detectors: Dict[str, Callable] = {}
+_custom_detector_tags: Dict[str, str] = {}
 
 
-def register_detector(name: str, builder: Callable) -> None:
+def register_detector(name: str, builder: Callable,
+                      cache_tag: Optional[str] = None) -> None:
+    """Override detector `name` with a custom builder.
+
+    cache_tag identifies THIS builder's feature space in the dataset-stats
+    cache key. Two different custom detectors registered under the same
+    name (e.g. random-weight I3Ds under different seeds) MUST pass distinct
+    tags, or the second run silently reuses the first one's cached real
+    stats and the resulting distance compares features from two different
+    projections. Omitting it keeps the legacy shared 'custom' namespace.
+    """
     _custom_detectors[name] = builder
+    if cache_tag is not None:
+        _custom_detector_tags[name] = cache_tag
+    else:
+        _custom_detector_tags.pop(name, None)
 
 
 def _detector_search_dirs(opts: MetricOptions):
@@ -417,7 +432,8 @@ def _detector_backend_tag(name: str) -> str:
     scripts/validate_detectors.py, so their dataset stats are
     interchangeable, matching the reference's single cache per detector)."""
     if name in _custom_detectors:
-        return "custom"
+        tag = _custom_detector_tags.get(name)
+        return f"custom:{tag}" if tag else "custom"
     if os.environ.get("SGV_STUB_DETECTORS"):
         return "stub"
     return "real"

@@ -100,6 +100,42 @@ def test_dataset_stats_and_cache(ds_path, tmp_path):
     assert len(os.listdir(tmp_path / "cache")) == 1
 
 
+def test_custom_detector_cache_tag_invalidates(ds_path, tmp_path):
+    """Re-registering a DIFFERENT custom detector under the same name with
+    a distinct cache_tag must NOT reuse the first one's cached dataset
+    stats (the round-5 multi-seed FVD bug: seed-N rescoring silently hit
+    the seed-17 real-stats cache and produced an anti-correlated series)."""
+    opts = MetricOptions(dataset_kwargs=dataset_kwargs(ds_path),
+                         cache_dir=str(tmp_path / "cache"))
+
+    def scaled_detector(scale):
+        def builder(**kwargs):
+            def features(images):
+                x = images.astype(np.float64) / 255.0 * scale
+                return x.reshape(x.shape[0], -1)[:, :8]
+            return features
+        return builder
+
+    register_detector("tagged", scaled_detector(1.0), cache_tag="s1")
+    st1 = compute_feature_stats_for_dataset(
+        opts, "tagged", {}, capture_mean_cov=True, max_items=6,
+        use_image_dataset=False, batch_size=3)
+    register_detector("tagged", scaled_detector(2.0), cache_tag="s2")
+    st2 = compute_feature_stats_for_dataset(
+        opts, "tagged", {}, capture_mean_cov=True, max_items=6,
+        use_image_dataset=False, batch_size=3)
+    mu1, mu2 = st1.get_mean_cov()[0], st2.get_mean_cov()[0]
+    np.testing.assert_allclose(mu2, mu1 * 2.0, rtol=1e-12)
+    assert len(os.listdir(tmp_path / "cache")) == 2
+    # same tag re-registered -> cache hit (entry count unchanged)
+    register_detector("tagged", scaled_detector(3.0), cache_tag="s2")
+    st3 = compute_feature_stats_for_dataset(
+        opts, "tagged", {}, capture_mean_cov=True, max_items=6,
+        use_image_dataset=False, batch_size=3)
+    np.testing.assert_allclose(st3.get_mean_cov()[0], mu2, rtol=1e-12)
+    assert len(os.listdir(tmp_path / "cache")) == 2
+
+
 def test_fvd_dataset_vs_itself_is_zero(ds_path, tmp_path):
     """generator_as_dataset with the SAME dataset must give FVD ~ 0
     (the calc_metrics_for_dataset.py use-case)."""
