@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.misc import parse_padding
+from .conv_wg import choose_s2b_factors, conv_valid_s2b
 from .upfirdn2d import _filter_size, upfirdn2d
 
 
@@ -31,10 +32,26 @@ def _conv2d(x: jax.Array, w: jax.Array, stride: int = 1, padding=((0, 0), (0, 0)
     """Plain dense conv, NHWC x HWIO -> NHWC. padding = ((py0,py1),(px0,px1))."""
     if not flip_weight:
         w = jnp.flip(w, axis=(0, 1))
+    w = w.astype(x.dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    # Stride-1 dense k>1 convs: route through the space-to-batch weight-grad
+    # custom VJP when the padded-cost rule says the quadrant-stacked dW
+    # program beats the naive depth-N lowering (ops/conv_wg.py; the round-4
+    # roofline audit's "problem shape" lever). lax.pad outside the custom
+    # VJP keeps (possibly negative) padding on ordinary AD.
+    if stride == 1 and groups == 1 and (kh > 1 or kw > 1):
+        (py0, py1), (px0, px1) = padding
+        N, H, W_, _ = x.shape
+        Ho, Wo = H + py0 + py1 - kh + 1, W_ + px0 + px1 - kw + 1
+        factors = choose_s2b_factors(N, Ho, Wo, kh, kw)
+        if factors is not None:
+            xp = lax.pad(x, jnp.zeros((), x.dtype),
+                         [(0, 0, 0), (py0, py1, 0), (px0, px1, 0), (0, 0, 0)])
+            return conv_valid_s2b(xp, w, factors)
     # No preferred_element_type: keeps arbitrary-order AD dtype-consistent;
     # the MXU accumulates bf16 contractions in fp32 internally regardless.
     return lax.conv_general_dilated(
-        x, w.astype(x.dtype),
+        x, w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
