@@ -34,11 +34,14 @@ def _conv2d(x: jax.Array, w: jax.Array, stride: int = 1, padding=((0, 0), (0, 0)
         w = jnp.flip(w, axis=(0, 1))
     w = w.astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
-    # Stride-1 dense k>1 convs: route through the space-to-batch weight-grad
-    # custom VJP when the padded-cost rule says the quadrant-stacked dW
-    # program beats the naive depth-N lowering (ops/conv_wg.py; the round-4
-    # roofline audit's "problem shape" lever). lax.pad outside the custom
-    # VJP keeps (possibly negative) padding on ordinary AD.
+    # Stride-1 dense k>1 convs: optional space-to-batch weight-grad custom
+    # VJP (ops/conv_wg.py; the round-4 roofline audit's "problem shape"
+    # lever). OFF by default — the on-chip A/B measured the quadrant-
+    # stacked dW program slower end-to-end at the production shape (HBM
+    # traffic from the reformulation outweighs the padded-MXU win; see
+    # conv_wg.py docstring / PERF.md). Opt in via SGV_CONV_WG_S2B=auto.
+    # lax.pad outside the custom VJP keeps (possibly negative) padding on
+    # ordinary AD.
     if stride == 1 and groups == 1 and (kh > 1 or kw > 1):
         (py0, py1), (px0, px1) = padding
         N, H, W_, _ = x.shape

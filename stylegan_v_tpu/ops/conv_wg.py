@@ -28,9 +28,22 @@ Reference analog: the reference leaves this to cuDNN algo selection
 (wgrad kernels pick tile shapes per problem), reference
 src/torch_utils/ops/conv2d_gradfix.py:1-26 routes torch's backward.
 
-Selection: `SGV_CONV_WG_S2B` = "auto" (default; apply whenever the padded
-cost strictly improves), "0" (off), or "force" (apply whenever shapes
-divide — for tests).
+MEASURED NEGATIVE RESULT (v5e, docs/PERF.md round-5 table): at the
+production shape (256^2, batch 16x3) the quadrant-stacked program is
+SLOWER end-to-end — full step 284.7 ms vs 247.7 ms naive (Gmain grad
+113.1 -> 137.2 ms, Dmain 139.3 -> 156.5 ms).  The padded-MXU win is real
+but the reformulation's lhs concatenate + rhs transpose materializations
+raise the op's HBM traffic past the MXU saving (the audit's own HBM
+roofline for Gmain rises 57.8 -> 90.7 ms), flipping the op HBM-bound.
+The cost model here counts only padded MXU flops, so "auto" mispredicts;
+the implementation is kept (correct to 1e-3 through second order on
+chip, `scripts/drive_conv_wg_onchip.py`) for shapes where depth padding
+dominates, but it is NOT the default.
+
+Selection: `SGV_CONV_WG_S2B` = "0" (DEFAULT: off — see the measured
+negative result above), "auto" (apply whenever the padded MXU cost
+strictly improves — mispredicts HBM-bound shapes), or "force" (apply
+whenever shapes divide — for tests).
 """
 from __future__ import annotations
 
@@ -42,7 +55,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_MODE = os.environ.get("SGV_CONV_WG_S2B", "auto")
+_MODE = os.environ.get("SGV_CONV_WG_S2B", "0")
 
 _LANE = 128          # MXU contraction tile depth (v5e)
 

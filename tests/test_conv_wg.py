@@ -18,7 +18,10 @@ def _ref_conv(xp, w):
         xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def test_choose_factors_production_shape():
+def test_choose_factors_production_shape(monkeypatch):
+    # selection rule under "auto" (the production default is "0": the
+    # on-chip A/B measured the reformulation slower — see conv_wg.py)
+    monkeypatch.setattr(conv_wg, "_MODE", "auto")
     # depth 48: sh*sw=8 fills three 128-tiles exactly -> zero depth padding
     assert choose_s2b_factors(48, 256, 256, 3, 3) == (2, 4)
     # depth already >= a full tile multiple: naive is optimal
