@@ -55,8 +55,11 @@ STAGE1_IMPL = os.environ.get("SGV_SHEAR_STAGE1", "onehot")   # onehot | gather
 # C=9 lanes (7% of the 128-lane VPU tile), which dominated the measured
 # warp cost; dense keeps the payload packed [B, L, N*C] (full lanes),
 # resolves the WHOLE integer shift as a barrel over the sublane axis, and
-# needs no pre/post transposes in the shear passes.
-STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "grouped")
+# needs no pre/post transposes in the shear passes. DEFAULT since the
+# round-5 on-chip A/B (docs/PERF.md): full warp fwd 26.8 vs 36.4 ms,
+# fwd+bwd 71.9 vs 82.0 ms at the production shape, and
+# validate_shear_onchip.py passes all of 32..1024^2 fwd+bwd under it.
+STAGE2_IMPL = os.environ.get("SGV_SHEAR_STAGE2", "dense")
 # residual-shift executor inside the grouped stage-2: "barrel" resolves the
 # bounded residual in ceil(log2(rmax+1)) two-way select passes (a barrel
 # shifter over the coarse window); "loop" is the round-3 dense
