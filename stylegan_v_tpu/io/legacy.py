@@ -87,6 +87,10 @@ class SafeRefUnpickler(pickle.Unpickler):
             return self._STUBBED_CALLABLES[(module, name)]
         if module in self._EASYDICT_MODULES and name == "EasyDict":
             return _EasyDict
+        if (module in ("dnnlib.tflib.network", "src.dnnlib.tflib.network")
+                and name == "Network"):
+            from .legacy_tf import TFNetworkStub   # TF-era pickle
+            return TFNetworkStub
         if module.startswith(("torch.", "torch_utils.", "src.torch_utils.",
                               "collections", "numpy", "builtins")) or module == "torch":
             if module.startswith(("torch_utils", "src.torch_utils")):
@@ -100,9 +104,18 @@ class SafeRefUnpickler(pickle.Unpickler):
 
 def load_network_pkl(path: str) -> Dict[str, Any]:
     """Load a reference snapshot -> dict with StubModule values for
-    G / D / G_ema / augment_pipe plus plain entries (reference legacy.py:20-28)."""
+    G / D / G_ema / augment_pipe plus plain entries (reference legacy.py:20-28).
+    Legacy TensorFlow pickles (a 3-tuple of tflib Networks) are normalized to
+    the same dict shape with TFNetworkStub values (reference legacy.py:24-29);
+    import_reference_snapshot converts them."""
     with open(path, "rb") as f:
-        return SafeRefUnpickler(f).load()
+        data = SafeRefUnpickler(f).load()
+    from .legacy_tf import is_tf_pickle
+    if is_tf_pickle(data):
+        tf_G, tf_D, tf_Gs = data
+        data = {"G": tf_G, "D": tf_D, "G_ema": tf_Gs,
+                "training_set_kwargs": None, "augment_pipe": None}
+    return data
 
 
 def _to_np(x):
@@ -338,11 +351,25 @@ def import_reference_snapshot(path: str, gen_template=None, disc_template=None,
     keep their fresh initialization.
     """
     from .checkpoint import copy_params
+    from .legacy_tf import (TFNetworkStub, convert_tf_discriminator_state,
+                            convert_tf_generator_state)
 
     data = load_network_pkl(path)
     out = {}
     for key in ("G", "G_ema", "D"):
         stub = data.get(key)
+        if isinstance(stub, TFNetworkStub):
+            if key == "D":
+                conv, _ = convert_tf_discriminator_state(stub)
+                template = disc_template
+            else:
+                conv, _ = convert_tf_generator_state(stub)
+                template = gen_template
+            if template is not None:
+                conv = {coll: copy_params(conv.get(coll, {}), template[coll])
+                        for coll in template}
+            out[key] = conv
+            continue
         if not isinstance(stub, StubModule):
             out[key] = None
             continue
