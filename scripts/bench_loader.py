@@ -139,10 +139,23 @@ def bench_train_overlap(data_path: str, batch_size: int, num_workers: int,
         def put(b):
             return {k: jax.device_put(v) for k, v in b.items()}
 
-        rng = jax.random.PRNGKey(0)
+        # time-seeded: the axon tunnel memoizes IDENTICAL dispatches across
+        # processes, so a fixed key would replay a previous run's results
+        # (measuring the result cache, not the chip)
+        rng = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
+
+        def sync(st):
+            # synchronous SCALAR readback: on the axon tunnel
+            # block_until_ready returns before execution completes (the
+            # probe in docs/PERF.md measured 8 ms "complete" 256^2 steps);
+            # only a host-side value forces the chain to finish.
+            return float(jax.tree_util.tree_leaves(st.params_G)[0]
+                         .astype(jnp.float32).sum())
+
+        import jax.numpy as jnp
         # warm/compile
         state, _ = step(state, put(next(loader)), rng)
-        jax.block_until_ready(state.params_G)
+        sync(state)
 
         nxt = put(next(loader))              # prefetched device batch
         t0 = time.perf_counter()
@@ -152,12 +165,23 @@ def bench_train_overlap(data_path: str, batch_size: int, num_workers: int,
             # overlap: host decode + H2D of the next batch ride under the
             # async dispatched step
             nxt = put(next(loader))
-        jax.block_until_ready(state.params_G)
+        sync(state)
         dt = time.perf_counter() - t0
+
+        # control: the IDENTICAL program fed a device-resident batch (no
+        # decode, no H2D) — the loader-fed/pre-staged ratio isolates what
+        # the input pipeline costs the step. The state advances every step,
+        # so dispatches are unique and the axon result cache cannot fire.
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, stats = step(state, nxt, jax.random.fold_in(rng, 10_000 + i))
+        sync(state)
+        dt_pre = time.perf_counter() - t0
     finally:
         loader.close()
         ds.close()
-    return steps * batch_size * F / dt
+    n = steps * batch_size * F
+    return n / dt, n / dt_pre
 
 
 def main():
@@ -197,10 +221,13 @@ def main():
 
     if args.train_steps > 0:
         try:
-            e2e = bench_train_overlap(data, args.batch_size, args.num_workers,
-                                      args.train_steps, args.res,
-                                      ada=args.ada)
+            e2e, pre = bench_train_overlap(data, args.batch_size,
+                                           args.num_workers,
+                                           args.train_steps, args.res,
+                                           ada=args.ada)
             out["train_fed_frames_per_sec"] = round(e2e, 2)
+            out["train_prestaged_frames_per_sec"] = round(pre, 2)
+            out["loader_overhead_pct"] = round(100.0 * (pre - e2e) / pre, 2)
             out["train_fed_ada"] = bool(args.ada)
         except Exception as e:  # noqa: BLE001
             out["train_fed_error"] = repr(e)[:300]
